@@ -1,0 +1,357 @@
+"""Config system: typed dataclasses mirroring the reference's config schema.
+
+The reference drives everything from a JSON defaults file plus an ~80-flag
+argparse override lattice with prefix-mangled keys (``opt__*`` routed into
+model_params, ``{train,val,test}_params__*`` routed into nested sections —
+parseit.py:291-345), validated by dozens of asserts (parseit.py:364-471).
+
+Here the same schema is typed dataclasses with explicit validation; overrides
+use dotted paths (``model_params.num_heads=4``) AND the reference's legacy
+prefix forms (``opt__lr``, ``train_params__loader_params__batch_size``) so
+existing reference configs/commands translate 1:1. Dataset paths are
+first-class config (the reference hardcodes cluster paths,
+parseit.py:489-509).
+
+Experiment-dir lifecycle matches the reference: ``exps/id_<exp_id>`` out dir
+(parseit.py:517-530), a ``passed.txt`` already-done guard (parseit.py:354-358),
+``config.yml``/``final_config.yml`` records and a ``cmd.sh`` replay script
+(parseit.py:616-619).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+# ----------------------------------------------------------------------------
+# Enumerations of the config lattice (mirrors parseit.py asserts)
+# ----------------------------------------------------------------------------
+VISION_BACKBONES = ("R2D1", "I3D")
+AUDIO_BACKBONES = ("ResNet18", "wavLM")
+INTRA_MODAL_FUSIONS = ("None", "feat_concat_fc", "encoder_plus_self_attention")
+JOINT_MODALITIES = ("NONE", "TRANSFORMER", "FC")
+OUTPUT_FORMATS = ("FC", "SELF_ATTEN")
+GOALS = ("TRAINING", "PRETRAINING")
+MODES = ("Training", "Eval")
+R2D1_REDUCES = ("MAX", "AVG", "FLATTEN")
+INITS_R2D1 = ("RANDOM", "KINETICS400", "AFFWILD2", "OUR_AFFWILD2")
+INITS_RESNET18 = ("RANDOM", "IMAGENET", "AFFWILD2", "OUR_AFFWILD2")
+INITS_I3D = ("RANDOM", "KINETICS400", "AFFWILD2", "OUR_AFFWILD2")
+OPTIMIZERS = ("sgd", "adam")
+SCHEDULERS = ("step", "cosine", "mystep", "mycosine", "multistep",
+              "reduce_on_plateau")
+
+
+def _as_bool(v: Any) -> bool:
+    """The reference stores booleans as strings like "True" in JSON."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, str):
+        return v.strip().lower() in ("true", "1", "yes")
+    return bool(v)
+
+
+@dataclass
+class LoaderParams:
+    batch_size: int = 64
+    shuffle: bool = False
+    num_workers: int = 4
+    pin_memory: bool = False
+    # TPU addition: prefetch depth of the host->device pipeline.
+    prefetch: int = 2
+
+
+@dataclass
+class SplitParams:
+    """Per-split dataset geometry (mirrors config_file.json train/val/test)."""
+    labelpath: str = ""
+    take_n_videos: int = -1
+    seq_length: int = 512
+    subseq_length: int = 32
+    stride: int = 1
+    dilation: int = 4
+    use_more_vision_data_augm: bool = False
+    use_more_audio_data_augm: bool = False
+    loader_params: LoaderParams = field(default_factory=LoaderParams)
+
+    def __post_init__(self):
+        if isinstance(self.loader_params, dict):
+            self.loader_params = LoaderParams(**self.loader_params)
+        assert self.seq_length > 0 and self.subseq_length > 0
+        assert self.seq_length % self.subseq_length == 0, \
+            (self.seq_length, self.subseq_length)
+        assert self.stride > 0 and self.dilation > 0
+        assert self.take_n_videos == -1 or self.take_n_videos > 0
+
+
+@dataclass
+class OptimParams:
+    """Optimizer + scheduler hyper-params (the reference's ``opt__*`` keys,
+    instantiator.py:113-138)."""
+    name_optimizer: str = "sgd"
+    lr: float = 1e-4
+    momentum: float = 0.9
+    dampening: float = 0.0
+    weight_decay: float = 1e-4
+    nesterov: bool = True
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps_adam: float = 1e-8
+    amsgrad: bool = False
+    lr_scheduler: bool = True
+    name_lr_scheduler: str = "mystep"
+    step_size: int = 40
+    gamma: float = 0.1
+    last_epoch: int = -1
+    min_lr: float = 1e-7
+    t_max: int = 100
+    coef: float = 0.5
+    milestones: List[int] = field(default_factory=lambda: [30, 60])
+    mode: str = "min"
+    factor: float = 0.5
+    patience: int = 10
+
+    def __post_init__(self):
+        self.nesterov = _as_bool(self.nesterov)
+        self.amsgrad = _as_bool(self.amsgrad)
+        self.lr_scheduler = _as_bool(self.lr_scheduler)
+        assert self.name_optimizer in OPTIMIZERS, self.name_optimizer
+        if self.lr_scheduler:
+            assert self.name_lr_scheduler in SCHEDULERS, self.name_lr_scheduler
+
+
+@dataclass
+class ModelParams:
+    intra_modal_fusion: str = "None"
+    output_format: str = "FC"
+    joint_modalities: str = "TRANSFORMER"
+    l_vision_backbones: List[str] = field(default_factory=lambda: ["R2D1"])
+    l_audio_backbones: List[str] = field(default_factory=lambda: ["ResNet18"])
+    init_w_R2D1: str = "RANDOM"
+    init_w_ResNet18: str = "RANDOM"
+    init_w_I3D: str = "RANDOM"
+    R2D1_ft_dim_reduce: str = "MAX"
+    freeze_vision_R2D1: bool = True
+    freeze_vision_I3D: bool = True
+    freeze_audio_ResNet18: bool = True
+    num_layers: int = 1
+    num_heads: int = 1
+    v_dropout: float = 0.0
+    a_dropout: float = 0.0
+    start_epoch: int = 0
+    max_epochs: int = 20
+    opt: OptimParams = field(default_factory=OptimParams)
+    # TPU additions -----------------------------------------------------
+    # compute dtype for the backbone/fusion matmuls ("bfloat16"|"float32");
+    # replaces the reference's torch.cuda.amp autocast (train.py:101).
+    compute_dtype: str = "bfloat16"
+    # remat (jax.checkpoint) the heavy backbones to trade FLOPs for HBM.
+    remat_backbones: bool = False
+
+    def __post_init__(self):
+        if isinstance(self.l_vision_backbones, str):
+            self.l_vision_backbones = (
+                [] if self.l_vision_backbones in ("", "None")
+                else self.l_vision_backbones.split(","))
+        if isinstance(self.l_audio_backbones, str):
+            self.l_audio_backbones = (
+                [] if self.l_audio_backbones in ("", "None")
+                else self.l_audio_backbones.split(","))
+        if isinstance(self.opt, dict):
+            self.opt = OptimParams(**self.opt)
+        for b in (self.freeze_vision_R2D1, self.freeze_vision_I3D,
+                  self.freeze_audio_ResNet18):
+            assert isinstance(_as_bool(b), bool)
+        self.freeze_vision_R2D1 = _as_bool(self.freeze_vision_R2D1)
+        self.freeze_vision_I3D = _as_bool(self.freeze_vision_I3D)
+        self.freeze_audio_ResNet18 = _as_bool(self.freeze_audio_ResNet18)
+        assert self.intra_modal_fusion in INTRA_MODAL_FUSIONS, \
+            self.intra_modal_fusion
+        assert self.output_format in OUTPUT_FORMATS, self.output_format
+        assert self.joint_modalities in JOINT_MODALITIES, self.joint_modalities
+        for v in self.l_vision_backbones:
+            assert v in VISION_BACKBONES, v
+        for a in self.l_audio_backbones:
+            assert a in AUDIO_BACKBONES, a
+        assert self.R2D1_ft_dim_reduce in R2D1_REDUCES, self.R2D1_ft_dim_reduce
+        assert self.init_w_R2D1 in INITS_R2D1, self.init_w_R2D1
+        assert self.init_w_ResNet18 in INITS_RESNET18, self.init_w_ResNet18
+        assert self.init_w_I3D in INITS_I3D, self.init_w_I3D
+        assert self.num_layers > 0 and self.num_heads > 0
+        assert 0.0 <= self.v_dropout < 1.0 and 0.0 <= self.a_dropout < 1.0
+        assert self.compute_dtype in ("bfloat16", "float32"), self.compute_dtype
+
+
+@dataclass
+class Config:
+    """Top-level experiment config (mirrors config_file.json:1-99)."""
+    exp_id: str = "exp"
+    outd: str = "exps"
+    verbose: bool = True
+    # dataset paths — first-class config, no hardcoded cluster paths
+    dataset_rootpath: str = ""
+    dataset_wavspath: str = ""
+    dataset_realtimestamps: str = ""
+    wavlm_features: str = ""
+    train_params: SplitParams = field(default_factory=SplitParams)
+    val_params: SplitParams = field(default_factory=SplitParams)
+    test_params: SplitParams = field(default_factory=SplitParams)
+    model_params: ModelParams = field(default_factory=ModelParams)
+    Mode: str = "Training"
+    SEED: int = 0
+    split: str = "DEFAULT"
+    dump_best_model_every_time: bool = True
+    goal: str = "TRAINING"
+    # TPU additions -----------------------------------------------------
+    # device mesh spec: number of data-parallel shards; -1 = all devices.
+    mesh_data_parallel: int = -1
+    # static spectrogram width buckets (replaces dynamic per-batch padding,
+    # reference padSequence.py:8-21).
+    spec_width_buckets: List[int] = field(default_factory=lambda: [104])
+
+    def __post_init__(self):
+        for name in ("train_params", "val_params", "test_params"):
+            v = getattr(self, name)
+            if isinstance(v, dict):
+                setattr(self, name, SplitParams(**v))
+        if isinstance(self.model_params, dict):
+            self.model_params = ModelParams(**self.model_params)
+        self.verbose = _as_bool(self.verbose)
+        self.dump_best_model_every_time = _as_bool(
+            self.dump_best_model_every_time)
+        assert self.Mode in MODES, self.Mode
+        assert self.goal in GOALS, self.goal
+        self.validate_lattice()
+
+    # -- the reference's config-combination validation (parseit.py:364-471)
+    def validate_lattice(self) -> None:
+        mp = self.model_params
+        if self.goal == "PRETRAINING":
+            # single-backbone pretraining: exactly one backbone total
+            n = len(mp.l_vision_backbones) + len(mp.l_audio_backbones)
+            assert n == 1, (
+                f"PRETRAINING requires exactly one backbone, got {n}")
+        else:
+            assert len(mp.l_vision_backbones) >= 1, mp.l_vision_backbones
+            assert len(mp.l_audio_backbones) >= 1, mp.l_audio_backbones
+        if len(mp.l_vision_backbones) == 2 or (
+                len(mp.l_audio_backbones) == 2):
+            assert mp.intra_modal_fusion != "None", (
+                "two backbones in one modality require an intra-modal fusion")
+        if mp.joint_modalities == "NONE":
+            assert mp.output_format == "FC", mp.output_format
+        # val/test geometry force-synced to train's (main.py:186-191)
+        for split in (self.val_params, self.test_params):
+            split.seq_length = self.train_params.seq_length
+            split.subseq_length = self.train_params.subseq_length
+            split.stride = self.train_params.stride
+            split.dilation = self.train_params.dilation
+
+    # -- (de)serialization ------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        d = dict(d)
+        # tolerate reference-style extra keys
+        known = {f.name for f in dataclasses.fields(cls)}
+        mp = d.get("model_params")
+        if isinstance(mp, dict):
+            mp = dict(mp)
+            # route legacy opt__* keys into the nested OptimParams
+            opt_d = dict(mp.pop("opt", {}) or {})
+            for k in list(mp.keys()):
+                if k.startswith("opt__"):
+                    opt_d[k[len("opt__"):]] = mp.pop(k)
+            mp["opt"] = opt_d
+            d["model_params"] = mp
+        d = {k: v for k, v in d.items() if k in known}
+        return cls(**d)
+
+    @classmethod
+    def from_file(cls, path: str) -> "Config":
+        with open(path) as f:
+            if path.endswith((".yml", ".yaml")):
+                d = yaml.safe_load(f)
+            else:
+                d = json.load(f)
+        return cls.from_dict(d)
+
+    def save_yaml(self, path: str) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+
+def apply_overrides(cfg_dict: Dict[str, Any],
+                    overrides: Dict[str, Any]) -> Dict[str, Any]:
+    """Apply override keys onto a raw config dict.
+
+    Supports both dotted paths (``model_params.num_heads``) and the
+    reference's prefix-mangled forms (parseit.py:291-345):
+
+    * ``opt__<k>``                       -> model_params.opt.<k>
+    * ``train_params__loader_params__<k>`` -> train_params.loader_params.<k>
+    * ``<section>__<k>``                 -> <section>.<k>
+    * plain keys                          -> top level
+    """
+    out = json.loads(json.dumps(cfg_dict))  # deep copy, JSON-typed
+
+    def set_path(d: Dict[str, Any], path: List[str], value: Any) -> None:
+        for p in path[:-1]:
+            d = d.setdefault(p, {})
+        d[path[-1]] = value
+
+    for key, value in overrides.items():
+        if "." in key:
+            set_path(out, key.split("."), value)
+        elif key.startswith("opt__"):
+            set_path(out, ["model_params", key], value)
+        elif "__" in key:
+            set_path(out, key.split("__"), value)
+        else:
+            out[key] = value
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Experiment directory lifecycle
+# ----------------------------------------------------------------------------
+class ExperimentDir:
+    """``exps/id_<exp_id>`` lifecycle with passed.txt idempotence guard
+    (reference parseit.py:354-358,517-530; main.py:1074-1075)."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.path = os.path.join(cfg.outd, f"id_{cfg.exp_id}")
+        self.weights_dir = os.path.join(self.path, "SavedWeights")
+
+    @property
+    def passed_marker(self) -> str:
+        return os.path.join(self.path, "passed.txt")
+
+    def already_done(self) -> bool:
+        return os.path.isfile(self.passed_marker)
+
+    def create(self, argv: Optional[List[str]] = None) -> str:
+        os.makedirs(self.path, exist_ok=True)
+        os.makedirs(self.weights_dir, exist_ok=True)
+        self.cfg.save_yaml(os.path.join(self.path, "config.yml"))
+        argv = argv if argv is not None else sys.argv
+        with open(os.path.join(self.path, "cmd.sh"), "w") as f:
+            f.write("#!/usr/bin/env bash\n")
+            f.write(" ".join(argv) + "\n")
+        return self.path
+
+    def finalize(self, perfs: Dict[str, Any]) -> None:
+        self.cfg.save_yaml(os.path.join(self.path, "final_config.yml"))
+        with open(os.path.join(self.path, "perfs.yml"), "w") as f:
+            yaml.safe_dump(perfs, f, sort_keys=False)
+        with open(self.passed_marker, "w") as f:
+            f.write("done\n")
