@@ -1,0 +1,175 @@
+"""Inception-v1 I3D backbone + TCN temporal head.
+
+Capability target: the reference's InceptionI3d (pytorch_i3d_new.py:247-537)
+wrapped by I3D_WSDDA (I3DWSDDA.py:5-45): feature endpoint Mixed_5c ->
+AvgPool3d([2,7,7], stride 1) -> squeeze spatial -> 4-layer TCN(1024->512,
+k=5, dropout .1) -> per-timestep 512-d features.
+
+The reference computes TF-style 'SAME' padding dynamically per forward
+(pytorch_i3d_new.py:87-110); shapes are static under jit so the identical
+arithmetic runs at trace time (ops/conv.tf_same_pads) and folds into the HLO.
+
+Channels-last: input (B, T, H, W, 3) at 224x224 -> I3DTCN output (B, T-1, 512)
+for T=8 (the reference's (b, 7, 512), I3DWSDDA.py:44).
+
+CRF heads (pytorch_i3d_new.py:161-244) are constructed only when
+``use_crf=True`` in the reference and are off in every shipped config; they
+are intentionally not reimplemented (dead code, SURVEY.md §2.3).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from jmt_tpu.ops.conv import conv_nd, max_pool, avg_pool, tf_same_pads
+from jmt_tpu.ops.norm import TorchBatchNorm
+from jmt_tpu.ops.initializers import torch_linear_kernel, torch_linear_bias
+from jmt_tpu.models.tcn import TemporalConvNet
+
+
+class Unit3D(nn.Module):
+    """Conv3d with TF-SAME padding [+ BN(eps 1e-3, momentum .01)] [+ ReLU]
+    (pytorch_i3d_new.py:46-118)."""
+    features: int
+    kernel: Sequence[int] = (1, 1, 1)
+    strides: Sequence[int] = (1, 1, 1)
+    use_batch_norm: bool = True
+    use_bias: bool = False
+    activation: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 use_running_average: bool = True) -> jnp.ndarray:
+        import jax
+
+        cin = x.shape[-1]
+        fan_in = cin * self.kernel[0] * self.kernel[1] * self.kernel[2]
+        bound = 1.0 / fan_in ** 0.5
+
+        def kernel_init(key, shape, dtype=jnp.float32):
+            # torch Conv3d default: kaiming_uniform(a=sqrt(5)) == U(+-bound)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        k = self.param("kernel", kernel_init,
+                       (*self.kernel, cin, self.features))
+        pads = tf_same_pads(x.shape[1:4], self.kernel, self.strides)
+        if self.dtype is not None:
+            x, k = x.astype(self.dtype), k.astype(self.dtype)
+        y = conv_nd(x, k, strides=self.strides, padding=pads)
+        if self.use_bias:
+            b = self.param("bias", torch_linear_bias(fan_in),
+                           (self.features,))
+            y = y + (b.astype(self.dtype) if self.dtype is not None else b)
+        if self.use_batch_norm:
+            y = TorchBatchNorm(momentum=0.01, epsilon=1e-3, dtype=self.dtype,
+                               name="bn")(y, use_running_average)
+        if self.activation:
+            y = nn.relu(y)
+        return y
+
+
+def max_pool_same(x: jnp.ndarray, kernel: Sequence[int],
+                  strides: Sequence[int]) -> jnp.ndarray:
+    """MaxPool3dSamePadding (pytorch_i3d_new.py:12-43), static pads."""
+    pads = tf_same_pads(x.shape[1:4], kernel, strides)
+    return max_pool(x, kernel, strides, pads)
+
+
+class InceptionModule(nn.Module):
+    """pytorch_i3d_new.py:121-158."""
+    out_channels: Sequence[int]  # [o0, o1, o2, o3, o4, o5]
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average=True):
+        o = self.out_channels
+        kw = dict(dtype=self.dtype)
+        b0 = Unit3D(o[0], (1, 1, 1), name="b0", **kw)(x, use_running_average)
+        b1 = Unit3D(o[1], (1, 1, 1), name="b1a", **kw)(x, use_running_average)
+        b1 = Unit3D(o[2], (3, 3, 3), name="b1b", **kw)(b1,
+                                                       use_running_average)
+        b2 = Unit3D(o[3], (1, 1, 1), name="b2a", **kw)(x, use_running_average)
+        b2 = Unit3D(o[4], (3, 3, 3), name="b2b", **kw)(b2,
+                                                       use_running_average)
+        b3 = max_pool_same(x, (3, 3, 3), (1, 1, 1))
+        b3 = Unit3D(o[5], (1, 1, 1), name="b3b", **kw)(b3,
+                                                       use_running_average)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+# (endpoint name, inception channel spec) in forward order; pools inline.
+_I3D_STAGES: Tuple = (
+    ("Conv3d_1a_7x7", None),
+    ("MaxPool3d_2a_3x3", ((1, 3, 3), (1, 2, 2))),
+    ("Conv3d_2b_1x1", None),
+    ("Conv3d_2c_3x3", None),
+    ("MaxPool3d_3a_3x3", ((1, 3, 3), (1, 2, 2))),
+    ("Mixed_3b", (64, 96, 128, 16, 32, 32)),
+    ("Mixed_3c", (128, 128, 192, 32, 96, 64)),
+    ("MaxPool3d_4a_3x3", ((3, 3, 3), (1, 2, 2))),
+    ("Mixed_4b", (192, 96, 208, 16, 48, 64)),
+    ("Mixed_4c", (160, 112, 224, 24, 64, 64)),
+    ("Mixed_4d", (128, 128, 256, 24, 64, 64)),
+    ("Mixed_4e", (112, 144, 288, 32, 64, 64)),
+    ("Mixed_4f", (256, 160, 320, 32, 128, 128)),
+    ("MaxPool3d_5a_2x2", ((2, 2, 2), (1, 2, 2))),
+    ("Mixed_5b", (256, 160, 320, 32, 128, 128)),
+    ("Mixed_5c", (384, 192, 384, 48, 128, 128)),
+)
+
+
+class InceptionI3d(nn.Module):
+    """pytorch_i3d_new.py:247-537, feature path (final_endpoint='Logits',
+    use_crf=False — every shipped reference config)."""
+    num_classes: int = 400
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True,
+                 features_only: bool = True) -> jnp.ndarray:
+        """x: (B, T, H, W, 3). features_only -> avg-pooled features
+        (B, T-1, 1, 1, 1024) squeezed to (B, T-1, 1024) by the caller via
+        extract-features semantics (pytorch_i3d_new.py:532-537)."""
+        h = Unit3D(64, (7, 7, 7), (1, 2, 2), dtype=self.dtype,
+                   name="Conv3d_1a_7x7")(x, use_running_average)
+        for name, spec in _I3D_STAGES[1:]:
+            if name.startswith("MaxPool"):
+                h = max_pool_same(h, *spec)
+            elif name.startswith("Mixed"):
+                h = InceptionModule(spec, dtype=self.dtype, name=name)(
+                    h, use_running_average)
+            else:
+                feats = {"Conv3d_2b_1x1": (64, (1, 1, 1)),
+                         "Conv3d_2c_3x3": (192, (3, 3, 3))}[name]
+                h = Unit3D(feats[0], feats[1], dtype=self.dtype, name=name)(
+                    h, use_running_average)
+        # AvgPool3d([2,7,7], stride 1), valid (pytorch_i3d_new.py:415-416)
+        h = avg_pool(h, (2, 7, 7), (1, 1, 1))
+        if features_only:
+            return h  # (B, T-1, 1, 1, 1024)
+        # Logits head (dropout omitted at inference; Unit3D 1x1x1 linear)
+        logits = Unit3D(self.num_classes, (1, 1, 1), use_batch_norm=False,
+                        use_bias=True, activation=False, dtype=self.dtype,
+                        name="logits")(h, use_running_average)
+        return logits.squeeze(3).squeeze(2)  # (B, T', classes)
+
+
+class I3DTCN(nn.Module):
+    """I3D_WSDDA equivalent: I3D features -> TCN -> (B, T', 512)
+    (I3DWSDDA.py:40-45)."""
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool = True,
+                 deterministic: bool = True) -> jnp.ndarray:
+        feats = InceptionI3d(dtype=self.dtype, name="i3d")(
+            x, use_running_average, features_only=True)
+        feats = feats.squeeze(3).squeeze(2)  # (B, T', 1024)
+        temp = TemporalConvNet((512, 512, 512, 512), kernel_size=5,
+                               dropout=0.1, dtype=self.dtype,
+                               name="temporal")(feats, deterministic)
+        return temp  # (B, T', 512) — already time-major like the reference's
+        # .transpose(1, 2) output (I3DWSDDA.py:44) since we are channels-last

@@ -173,3 +173,197 @@ def fc_layer_params(sd: Mapping[str, Any]) -> Params:
 def pretrainer_params(sd: Mapping[str, Any]) -> Params:
     sd = strip_module_prefix(sd)
     return {"regressor": regressor_params(sd, "regressor")}
+
+
+# ----------------------------------------------------------------------------
+# Backbones (conv/BN models): converters return
+# {"params": tree, "batch_stats": tree} matching the flax variable
+# collections.
+# ----------------------------------------------------------------------------
+def conv_kernel(sd: Mapping[str, Any], prefix: str,
+                bias: bool = False) -> Params:
+    """torch conv weight (O, I, *k) -> flax kernel (*k, I, O)."""
+    w = _np(sd[_key(prefix, "weight")])
+    kernel = np.moveaxis(w, (0, 1), (-1, -2))
+    out = {"kernel": kernel}
+    if bias:
+        out["bias"] = _np(sd[_key(prefix, "bias")])
+    return out
+
+
+def bn_vars(sd: Mapping[str, Any], prefix: str):
+    params = {"scale": _np(sd[_key(prefix, "weight")]),
+              "bias": _np(sd[_key(prefix, "bias")])}
+    stats = {"mean": _np(sd[_key(prefix, "running_mean")]),
+             "var": _np(sd[_key(prefix, "running_var")])}
+    return params, stats
+
+
+class _VarTree:
+    """Accumulates params + batch_stats with mirrored structure."""
+
+    def __init__(self):
+        self.params: Params = {}
+        self.stats: Params = {}
+
+    def _put(self, tree: Params, path, piece) -> None:
+        for p in path[:-1]:
+            tree = tree.setdefault(p, {})
+        tree[path[-1]] = piece
+
+    def conv(self, sd, torch_prefix: str, *path, bias: bool = False):
+        self._put(self.params, path, conv_kernel(sd, torch_prefix, bias=bias))
+
+    def bn(self, sd, torch_prefix: str, *path):
+        p, s = bn_vars(sd, torch_prefix)
+        self._put(self.params, path, p)
+        self._put(self.stats, path, s)
+
+    def raw(self, piece: Params, *path):
+        self._put(self.params, path, piece)
+
+    def done(self) -> Params:
+        return {"params": self.params, "batch_stats": self.stats}
+
+
+def resnet18_vars(sd: Mapping[str, Any]) -> Params:
+    """torchvision resnet18 (1-ch or 3-ch conv1) -> models.resnet18.ResNet18.
+
+    The reference replaces the fc head with identity (tsav.py:165); fc keys
+    are ignored here.
+    """
+    sd = strip_module_prefix(sd)
+    t = _VarTree()
+    t.conv(sd, "conv1", "conv1")
+    t.bn(sd, "bn1", "bn1")
+    for li in range(1, 5):
+        for bi in range(2):
+            tp = f"layer{li}.{bi}"
+            fp = f"layer{li}_{bi}"
+            t.conv(sd, f"{tp}.conv1", fp, "conv1")
+            t.bn(sd, f"{tp}.bn1", fp, "bn1")
+            t.conv(sd, f"{tp}.conv2", fp, "conv2")
+            t.bn(sd, f"{tp}.bn2", fp, "bn2")
+            if f"{tp}.downsample.0.weight" in sd:
+                t.conv(sd, f"{tp}.downsample.0", fp, "downsample_conv")
+                t.bn(sd, f"{tp}.downsample.1", fp, "downsample_bn")
+    return t.done()
+
+
+def video_resnet_vars(sd: Mapping[str, Any], arch: str = "r2plus1d",
+                      prefix: str = "") -> Params:
+    """torchvision-style VideoResNet -> models.video_resnet.VideoResNet.
+
+    Handles the three conv makers (video_resnet.py:19-82). The fc head is
+    Dummy'd in the reference feature path (tsav.py:172-173) and ignored.
+    """
+    sd = strip_module_prefix(sd)
+    t = _VarTree()
+
+    def conv_builder(torch_prefix: str, *path):
+        if arch == "r2plus1d":
+            t.conv(sd, f"{torch_prefix}.0", *path, "spatial_conv")
+            t.bn(sd, f"{torch_prefix}.1", *path, "spatial_bn")
+            t.conv(sd, f"{torch_prefix}.3", *path, "temporal_conv")
+        else:
+            t.conv(sd, torch_prefix, *path, "conv")
+
+    # stem
+    if arch == "r2plus1d":
+        t.conv(sd, f"{prefix}stem.0", "stem", "spatial_conv")
+        t.bn(sd, f"{prefix}stem.1", "stem", "spatial_bn")
+        t.conv(sd, f"{prefix}stem.3", "stem", "temporal_conv")
+        t.bn(sd, f"{prefix}stem.4", "stem", "temporal_bn")
+    else:
+        t.conv(sd, f"{prefix}stem.0", "stem", "conv")
+        t.bn(sd, f"{prefix}stem.1", "stem", "bn")
+
+    for li in range(1, 5):
+        for bi in range(2):
+            tp = f"{prefix}layer{li}.{bi}"
+            fp = f"layer{li}_{bi}"
+            conv_builder(f"{tp}.conv1.0", fp, "conv1")
+            t.bn(sd, f"{tp}.conv1.1", fp, "bn1")
+            conv_builder(f"{tp}.conv2.0", fp, "conv2")
+            t.bn(sd, f"{tp}.conv2.1", fp, "bn2")
+            if f"{tp}.downsample.0.weight" in sd:
+                t.conv(sd, f"{tp}.downsample.0", fp, "downsample_conv")
+                t.bn(sd, f"{tp}.downsample.1", fp, "downsample_bn")
+    return t.done()
+
+
+def _weight_norm_conv1d(sd: Mapping[str, Any], prefix: str) -> Params:
+    """torch weight_norm Conv1d: weight_g (O,1,1) + weight_v (O,I,k) ->
+    {g (O,), v (k,I,O), bias (O,)}. Also accepts the torch>=2.1
+    parametrize key layout."""
+    if _key(prefix, "weight_g") in sd:
+        g = _np(sd[_key(prefix, "weight_g")])
+        v = _np(sd[_key(prefix, "weight_v")])
+    else:  # parametrizations.weight.original0/original1
+        g = _np(sd[_key(prefix, "parametrizations.weight.original0")])
+        v = _np(sd[_key(prefix, "parametrizations.weight.original1")])
+    return {"g": g.reshape(-1), "v": np.transpose(v, (2, 1, 0)),
+            "bias": _np(sd[_key(prefix, "bias")])}
+
+
+def tcn_params(sd: Mapping[str, Any], num_blocks: int,
+               prefix: str = "") -> Params:
+    """TemporalConvNet (temporal_convolutional_model.py:60-82)."""
+    out: Params = {}
+    for i in range(num_blocks):
+        tp = f"{prefix}network.{i}"
+        block: Params = {
+            "conv1": _weight_norm_conv1d(sd, f"{tp}.conv1"),
+            "conv2": _weight_norm_conv1d(sd, f"{tp}.conv2"),
+        }
+        if f"{tp}.downsample.weight" in sd:
+            w = _np(sd[f"{tp}.downsample.weight"])  # (O, I, 1)
+            block["downsample_kernel"] = np.transpose(w, (2, 1, 0))
+            block["downsample_bias"] = _np(sd[f"{tp}.downsample.bias"])
+        out[f"block{i}"] = block
+    return out
+
+
+def i3d_vars(sd: Mapping[str, Any], prefix: str = "") -> Params:
+    """InceptionI3d feature path (pytorch_i3d_new.py:247-456)."""
+    sd = strip_module_prefix(sd)
+    t = _VarTree()
+
+    def unit3d(torch_prefix: str, *path, bias: bool = False,
+               with_bn: bool = True):
+        t.conv(sd, f"{torch_prefix}.conv3d", *path, bias=bias)
+        if with_bn:
+            t.bn(sd, f"{torch_prefix}.bn", *path, "bn")
+
+    unit3d(f"{prefix}Conv3d_1a_7x7", "Conv3d_1a_7x7")
+    unit3d(f"{prefix}Conv3d_2b_1x1", "Conv3d_2b_1x1")
+    unit3d(f"{prefix}Conv3d_2c_3x3", "Conv3d_2c_3x3")
+    for mixed in ("Mixed_3b", "Mixed_3c", "Mixed_4b", "Mixed_4c", "Mixed_4d",
+                  "Mixed_4e", "Mixed_4f", "Mixed_5b", "Mixed_5c"):
+        for branch in ("b0", "b1a", "b1b", "b2a", "b2b", "b3b"):
+            unit3d(f"{prefix}{mixed}.{branch}", mixed, branch)
+    if f"{prefix}logits.conv3d.weight" in sd:
+        unit3d(f"{prefix}logits", "logits", bias=True, with_bn=False)
+    return t.done()
+
+
+def r2d1_flatten_fc_params(sd: Mapping[str, Any], prefix: str = "",
+                           fmap_chw=(512, 1, 7, 7)) -> Params:
+    """The FLATTEN-reduce fc (tsav.py:156-157) flattens a channel-FIRST
+    (512,1,7,7) map; ours flattens channels-LAST (1,7,7,512). Permute the
+    torch weight columns accordingly."""
+    w = _np(sd[_key(prefix, "weight")])  # (512, 25088)
+    c, t, h, wd = fmap_chw
+    w = w.reshape(-1, c, t, h, wd).transpose(0, 2, 3, 4, 1).reshape(
+        w.shape[0], -1)
+    return {"kernel": w.T, "bias": _np(sd[_key(prefix, "bias")])}
+
+
+def i3d_tcn_vars(sd: Mapping[str, Any]) -> Params:
+    """I3D_WSDDA -> models.i3d.I3DTCN. The unused predictions/regressor
+    heads (I3DWSDDA.py:9-38) are ignored."""
+    sd = strip_module_prefix(sd)
+    i3d = i3d_vars(sd, prefix="i3d_WSDDA.")
+    tcn = tcn_params(sd, num_blocks=4, prefix="temporal.")
+    return {"params": {"i3d": i3d["params"], "temporal": tcn},
+            "batch_stats": {"i3d": i3d["batch_stats"]}}

@@ -1,0 +1,102 @@
+"""Two-stream aural-visual backbone container.
+
+Capability target: TwoStreamAuralVisualModel (tsav.py:119-222) — holds the
+optional audio ResNet-18, vision R(2+1)D (with MAX/AVG/FLATTEN feature
+reduce, tsav.py:196-207) and vision I3D+TCN backbones and emits per-clip
+512-d features for each enabled backbone.
+
+TPU-first redesign of the hot path: the reference loops over batch items in
+Python, feeding each (16, ...) pseudo-batch through the container
+(train.py:136-148) — a GPU-underutilizing serialization. Here the
+(B, S, ...) batch is flattened to (B*S, ...) and every backbone runs ONCE
+per step on the full clip batch; XLA tiles the big convs onto the MXU.
+
+Also replaces resize_clips_for_i3d (utils/utils.py:293-300): the reference's
+trilinear interpolate with align_corners=False over (C=3->3, 112->224,
+112->224) is an identity along C, i.e. per-frame bilinear half-pixel-center
+resize == jax.image.resize(method='linear').
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from jmt_tpu.models.common import Linear
+from jmt_tpu.models.resnet18 import ResNet18
+from jmt_tpu.models.video_resnet import VideoResNet
+from jmt_tpu.models.i3d import I3DTCN
+
+
+def resize_clips_for_i3d(clips: jnp.ndarray, size: int = 224) -> jnp.ndarray:
+    """clips: (N, T, H, W, C) -> (N, T, size, size, C), bilinear
+    half-pixel-centers (parity with F.interpolate trilinear
+    align_corners=False through the reference's permute trick)."""
+    n, t, h, w, c = clips.shape
+    return jax.image.resize(clips, (n, t, size, size, c), method="linear")
+
+
+class TwoStreamBackbones(nn.Module):
+    vision_backbones: Sequence[str] = ("R2D1",)   # subset of {R2D1, I3D}
+    audio_backbones: Sequence[str] = ("ResNet18",)  # subset of {ResNet18, wavLM}
+    r2d1_arch: str = "r2plus1d"                     # r2plus1d | r3d | mc3
+    r2d1_reduce: str = "MAX"                        # MAX | AVG | FLATTEN
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        assert self.r2d1_reduce in ("MAX", "AVG", "FLATTEN"), self.r2d1_reduce
+        if "R2D1" in self.vision_backbones:
+            self.vision_r2d1 = VideoResNet(arch=self.r2d1_arch,
+                                           dtype=self.dtype)
+            if self.r2d1_reduce == "FLATTEN":
+                self.vision_r2d1_fc = Linear(512, dtype=self.dtype)
+        if "I3D" in self.vision_backbones:
+            self.vision_i3d = I3DTCN(dtype=self.dtype)
+        if "ResNet18" in self.audio_backbones:
+            self.audio_resnet18 = ResNet18(in_channels=1, dtype=self.dtype)
+
+    def __call__(self, audio_spec: Optional[jnp.ndarray],
+                 clips: Optional[jnp.ndarray],
+                 use_running_average: bool = True,
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        """audio_spec: (B, S, 64, W, 1) log-mel; clips: (B, S, T, 112, 112, 3).
+
+        Returns per-backbone features, each (B, S, 512). wavLM features are
+        precomputed and injected by the data pipeline, not computed here
+        (parity with train.py:150-171).
+        """
+        feats: Dict[str, jnp.ndarray] = {}
+
+        if "ResNet18" in self.audio_backbones:
+            b, s = audio_spec.shape[:2]
+            flat = audio_spec.reshape(b * s, *audio_spec.shape[2:])
+            f = self.audio_resnet18(flat, use_running_average)
+            feats["audio_resnet18"] = f.reshape(b, s, 512)
+
+        if "R2D1" in self.vision_backbones:
+            b, s = clips.shape[:2]
+            flat = clips.reshape(b * s, *clips.shape[2:])
+            fmap = self.vision_r2d1(flat, use_running_average,
+                                    features_only=True)  # (N, T', H', W', 512)
+            n = fmap.shape[0]
+            if self.r2d1_reduce == "MAX":
+                f = jnp.max(fmap.reshape(n, -1, 512), axis=1)
+            elif self.r2d1_reduce == "AVG":
+                f = jnp.mean(fmap.reshape(n, -1, 512), axis=1)
+            else:  # FLATTEN: (T', H', W', C) order; the fc converter permutes
+                # reference weights to match (torch_io.r2d1_flatten_fc_params)
+                f = self.vision_r2d1_fc(fmap.reshape(n, -1))
+            feats["vision_r2d1"] = f.reshape(b, s, 512)
+
+        if "I3D" in self.vision_backbones:
+            b, s = clips.shape[:2]
+            flat = clips.reshape(b * s, *clips.shape[2:])
+            resized = resize_clips_for_i3d(flat)
+            tfeat = self.vision_i3d(resized, use_running_average,
+                                    deterministic)  # (N, T', 512)
+            f = jnp.max(tfeat, axis=1)  # max over time (tsav.py:216)
+            feats["vision_i3d"] = f.reshape(b, s, 512)
+
+        return feats
