@@ -1,0 +1,208 @@
+"""Benchmark: flagship audio-visual inference throughput (clips/sec/chip).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Measures the full device pipeline per clip — uint8 clip normalize, fused
+log-mel front-end, R2D1 + I3D(+TCN) vision, ResNet18 audio (+wavLM feature
+fusion), intra-modal transformers, JMT fusion, V/A heads — in bf16 on the
+attached chip.
+
+Baseline: the same compute graph assembled from the reference's own torch
+modules (r2plus1d_18, I3D_WSDDA, Two_transformers,
+Intra_modal_transformer_fusion imported from /root/reference; torchvision's
+resnet18 is unavailable here so an identical-architecture torch ResNet-18
+stands in), run the way the reference runs it — per-batch-item python loop
+(train.py:136-148), float32 CPU (the only torch device in this image).
+Measured once and cached in .bench_baseline.json.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
+
+B, S = 4, 16  # batch x clips-per-window: 64 clips/step
+N_WARMUP = 2
+N_ITERS = 8
+
+
+def make_host_batch(b=B, s=S, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "clips": rng.integers(0, 255, size=(b, s, 8, 112, 112, 3),
+                              dtype=np.uint8),
+        "audio": (rng.normal(size=(b, s, 45599)) * 0.1).astype(np.float32),
+        "wavlm": rng.normal(size=(b, s, 768)).astype(np.float32),
+    }
+
+
+def bench_jmt_tpu():
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, REPO)
+    from jmt_tpu.models.jmt_model import JMTModel
+    from jmt_tpu.train.loops import _preprocess
+
+    model = JMTModel(
+        vision_backbones=("R2D1", "I3D"),
+        audio_backbones=("ResNet18", "wavLM"),
+        intra_modal_fusion="encoder_plus_self_attention",
+        joint_modalities="TRANSFORMER", output_format="SELF_ATTEN",
+        num_heads=1, num_layers=1, dtype=jnp.bfloat16)
+
+    arrays = make_host_batch()
+    spec, clips = _preprocess(model, arrays, None, augment=False)
+    variables = model.init(jax.random.PRNGKey(0), spec, clips,
+                           arrays["wavlm"])
+
+    @jax.jit
+    def step(variables, arrays):
+        spec, clips = _preprocess(model, arrays, None, augment=False)
+        return model.apply(variables, spec, clips, arrays["wavlm"],
+                           train=False)
+
+    @jax.jit
+    def step_sum(variables, arrays):
+        vouts, aouts = step(variables, arrays)
+        return vouts.sum() + aouts.sum()
+
+    dev_arrays = jax.device_put(arrays)
+    # NB: on the axon relay platform block_until_ready returns early; a
+    # device->host scalar transfer is the only true completion barrier.
+    for _ in range(N_WARMUP):
+        float(step_sum(variables, dev_arrays))
+    t0 = time.perf_counter()
+    acc = None
+    for _ in range(N_ITERS):
+        acc = step_sum(variables, dev_arrays)
+    float(acc)
+    dt = (time.perf_counter() - t0) / N_ITERS
+    clips_per_sec = (B * S) / dt
+    return clips_per_sec, dt
+
+
+def measure_torch_baseline():
+    """Reference-shaped torch CPU pipeline, per-item loop (train.py:136)."""
+    import types
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from reference_loader import load_reference_models
+    ref = load_reference_models()
+
+    class TorchBasicBlock(tnn.Module):
+        def __init__(self, inp, planes, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(inp, planes, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(planes)
+            self.conv2 = tnn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(planes)
+            self.down = (tnn.Sequential(
+                tnn.Conv2d(inp, planes, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes))
+                if stride != 1 or inp != planes else None)
+
+        def forward(self, x):
+            out = F.relu(self.bn1(self.conv1(x)))
+            out = self.bn2(self.conv2(out))
+            res = self.down(x) if self.down is not None else x
+            return F.relu(out + res)
+
+    class TorchResNet18(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(1, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            layers, inp = [], 64
+            for li, planes in enumerate((64, 128, 256, 512)):
+                blocks = []
+                for bi in range(2):
+                    stride = 2 if (li > 0 and bi == 0) else 1
+                    blocks.append(TorchBasicBlock(inp, planes, stride))
+                    inp = planes
+                layers.append(tnn.Sequential(*blocks))
+            self.layers = tnn.Sequential(*layers)
+
+        def forward(self, x):
+            x = self.maxpool(F.relu(self.bn1(self.conv1(x))))
+            x = self.layers(x)
+            return torch.flatten(F.adaptive_avg_pool2d(x, (1, 1)), 1)
+
+    r2d1 = ref.video_resnet.r2plus1d_18(pretrained=False)
+    i3d = ref.I3DWSDDA.I3D_WSDDA(
+        ref.pytorch_i3d_new.InceptionI3d(400, in_channels=3))
+    audio_rn = TorchResNet18()
+    intra_v = ref.intra_modal_transformer_fusion.\
+        Intra_modal_transformer_fusion(512, 1, 512, 1)
+    intra_a = ref.intra_modal_transformer_fusion.\
+        Intra_modal_transformer_fusion(512, 1, 512, 1)
+    fusion = ref.two_transformers.Two_transformers(
+        0.0, 0.0, 1, 1, "TRANSFORMER", "SELF_ATTEN")
+    for m in (r2d1, i3d, audio_rn, intra_v, intra_a, fusion):
+        m.eval()
+
+    host = make_host_batch(b=1, s=S, seed=1)  # 1 window to keep CPU feasible
+    clips = torch.from_numpy(
+        host["clips"][0].transpose(0, 4, 1, 2, 3).astype(np.float32) / 255.)
+    spec = torch.from_numpy(
+        np.random.default_rng(2).normal(size=(S, 1, 64, 104))
+        .astype(np.float32))
+    wavlm = torch.from_numpy(host["wavlm"][:1])
+
+    def one_window():
+        with torch.no_grad():
+            r2d1(clips)
+            f_r2d1 = r2d1.spatial_fts.reshape(S, 512, -1).max(dim=2)[0]
+            clips224 = F.interpolate(
+                clips.permute(0, 2, 1, 3, 4), size=(3, 224, 224),
+                mode="trilinear", align_corners=False).permute(0, 2, 1, 3, 4)
+            f_i3d = i3d(clips224).max(dim=1)[0]
+            f_audio = audio_rn(spec)
+            vfeat = intra_v(f_r2d1[None], f_i3d[None])
+            afeat = intra_a(f_audio[None], wavlm)
+            return fusion(afeat, vfeat)
+
+    one_window()  # warmup
+    t0 = time.perf_counter()
+    n = 2
+    for _ in range(n):
+        one_window()
+    dt = (time.perf_counter() - t0) / n
+    return S / dt  # clips/sec (single window per iteration, as reference)
+
+
+def main():
+    ours, step_dt = bench_jmt_tpu()
+
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            baseline = json.load(f)["torch_cpu_clips_per_sec"]
+    else:
+        try:
+            baseline = measure_torch_baseline()
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump({"torch_cpu_clips_per_sec": baseline}, f)
+        except Exception as e:
+            print(f"baseline measurement failed: {e}", file=sys.stderr)
+            baseline = None
+
+    result = {
+        "metric": "flagship_audiovisual_inference_clips_per_sec_per_chip",
+        "value": round(ours, 2),
+        "unit": "clips/sec",
+        "vs_baseline": (round(ours / baseline, 2)
+                        if baseline else None),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""CLI entry point — parse_input equivalent (parseit.py:561-827).
+
+Usage:
+    python -m jmt_tpu.cli --config config.json [--set key=value ...] \
+        [--synthetic N_VIDEOS:LENGTH]
+
+Overrides accept both dotted paths and the reference's prefix forms
+(``opt__lr=1e-3``, ``train_params__loader_params__batch_size=8``). The
+``--synthetic`` flag swaps in the in-memory data source (the reference's
+smoke-run convention: take_n_videos 2 + max_epochs 1, README.MD:98-106,
+without needing Affwild2 on disk).
+
+Eval mode reloads ``final_config.yml`` from the experiment dir and runs
+stitched validation / challenge-test inference from the saved state
+(parity with parseit.py:660-663 + main.py:508-792 — minus the reference's
+NameError on its eval path, parseit.py:762).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict
+
+from jmt_tpu.core.config import Config, ExperimentDir, apply_overrides
+from jmt_tpu.core.logging import init_logger
+
+
+def _parse_value(v: str):
+    try:
+        return json.loads(v)
+    except json.JSONDecodeError:
+        return v
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="jmt_tpu trainer")
+    p.add_argument("--config", default=None,
+                   help="JSON/YAML config file (config_file.json schema)")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="override: dotted path or reference prefix form")
+    p.add_argument("--synthetic", default=None, metavar="N:LEN",
+                   help="use the synthetic data source (e.g. 2:481)")
+    p.add_argument("--mode", default=None, choices=["Training", "Eval"])
+    p.add_argument("--exp-dir", default=None,
+                   help="Eval mode: experiment dir to reload")
+    return p.parse_args(argv)
+
+
+def build_config(args) -> Config:
+    if args.mode == "Eval" and args.exp_dir:
+        final = os.path.join(args.exp_dir, "final_config.yml")
+        cfg = Config.from_file(final)
+        cfg.Mode = "Eval"
+        return cfg
+    raw: Dict = {}
+    if args.config:
+        with open(args.config) as f:
+            raw = (json.load(f) if args.config.endswith(".json")
+                   else __import__("yaml").safe_load(f))
+    overrides = {}
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        overrides[k] = _parse_value(v)
+    if args.mode:
+        overrides["Mode"] = args.mode
+    raw = apply_overrides(raw, overrides)
+    return Config.from_dict(raw)
+
+
+def make_datasets(cfg: Config, synthetic: str = None):
+    if synthetic:
+        from jmt_tpu.data.synthetic import synthetic_dataset
+        parts = (synthetic.split(":") + ["481", "112"])[:3]
+        n, length, img = int(parts[0]), int(parts[1]), int(parts[2])
+        train = synthetic_dataset("train", n_videos=n, length=length,
+                                  stride=cfg.train_params.stride,
+                                  img_size=img)
+        val = synthetic_dataset("val", n_videos=n, length=length,
+                                stride=cfg.val_params.stride, img_size=img)
+        return train, val, None, None
+    from jmt_tpu.data.datasets import (load_video_records, WindowedDataset,
+                                       WavlmFeatureStore)
+    from jmt_tpu.data.windowing import TRAIN_SKIP_VIDS
+    train_recs = load_video_records(
+        cfg.train_params.labelpath, cfg.dataset_wavspath,
+        cfg.dataset_realtimestamps, skip=TRAIN_SKIP_VIDS,
+        take_n_videos=cfg.train_params.take_n_videos)
+    val_recs = load_video_records(
+        cfg.val_params.labelpath, cfg.dataset_wavspath,
+        cfg.dataset_realtimestamps,
+        take_n_videos=cfg.val_params.take_n_videos)
+    train = WindowedDataset(train_recs, "train",
+                            stride=cfg.train_params.stride,
+                            win_length=cfg.train_params.seq_length)
+    val = WindowedDataset(val_recs, "val", stride=cfg.val_params.stride,
+                          win_length=cfg.val_params.seq_length)
+    store = (WavlmFeatureStore(cfg.wavlm_features)
+             if "wavLM" in cfg.model_params.l_audio_backbones else None)
+    return train, val, None, store
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    cfg = build_config(args)
+    exp = ExperimentDir(cfg)
+    init_logger(exp.path if cfg.Mode == "Training" or args.exp_dir
+                else None)
+    train_ds, val_ds, test_ds, store = make_datasets(cfg, args.synthetic)
+
+    from jmt_tpu.train.runner import Runner
+    runner = Runner(cfg, train_ds, val_ds, wavlm_store=store,
+                    test_ds=test_ds)
+    if cfg.Mode == "Training":
+        perfs = runner.fit()
+        print(json.dumps({"best": perfs.get("best", {})}, default=float))
+        return 0
+    # Eval mode: reload saved state and re-validate
+    runner.initialize()
+    from jmt_tpu.core import checkpoint as ckpt
+    runner.state = ckpt.restore_train_state(exp.weights_dir, runner.state)
+    m = runner.validate(store_pkl=os.path.join(
+        exp.path, "valid-reevaluation.pkl"))
+    print(json.dumps({"valid_ccc_v": m.valid_ccc_v,
+                      "valid_ccc_a": m.valid_ccc_a}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

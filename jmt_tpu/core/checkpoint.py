@@ -1,0 +1,149 @@
+"""Checkpointing: full train-state save/resume + per-component export.
+
+Improves on the reference, which snapshots only best model WEIGHTS (no
+optimizer/scheduler/RNG state; ``start_epoch`` exists but nothing reloads
+weights in Training mode — main.py:105-177, SURVEY.md §5.4):
+
+* ``save_train_state``/``restore_train_state`` — the FULL state (trainable
+  + frozen params, batch stats, optimizer state, epoch) via flax
+  serialization, enabling true resume.
+* ``export_components`` — per-component weight files mirroring the
+  reference's ``SavedWeights/`` layout (fusion_w, all_backbones,
+  audio_resnet18, vision_r2d1, vision_r2d1_fc, vision_i3d,
+  fc_layer_for_{audio,video}_concat, transformer_{audio,visio}_modality_
+  fusion, backbone_pretrainer_w — main.py:105-177), as .msgpack.
+* ``import_reference_torch_checkpoint`` — load the reference's .pt exports
+  (requires torch at call time only).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+from flax import traverse_util
+
+STATE_FILE = "train_state.msgpack"
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_train_state(directory: str, state) -> str:
+    os.makedirs(directory, exist_ok=True)
+    payload = {
+        "trainable": _to_host(state.trainable),
+        "frozen": _to_host(state.frozen),
+        "batch_stats": _to_host(state.batch_stats),
+        # optax states are namedtuple trees; to_state_dict flattens them to
+        # msgpack-able nested dicts
+        "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
+        "epoch": state.epoch,
+    }
+    path = os.path.join(directory, STATE_FILE)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    return path
+
+
+def restore_train_state(directory: str, template) -> Any:
+    """Restore into the structure of `template` (a TrainState)."""
+    from jmt_tpu.train.state import TrainState
+
+    with open(os.path.join(directory, STATE_FILE), "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    out = TrainState(
+        trainable=serialization.from_state_dict(template.trainable,
+                                                payload["trainable"]),
+        frozen=serialization.from_state_dict(template.frozen,
+                                             payload["frozen"]),
+        batch_stats=serialization.from_state_dict(template.batch_stats,
+                                                  payload["batch_stats"]),
+        opt_state=serialization.from_state_dict(template.opt_state,
+                                                payload["opt_state"]),
+        epoch=int(payload["epoch"]),
+    )
+    return out
+
+
+# ----------------------------------------------------------------------------
+# Per-component export (SavedWeights parity)
+# ----------------------------------------------------------------------------
+# component name -> (params path prefix, include batch_stats)
+_COMPONENTS = {
+    "fusion_w": ("fusion_model",),
+    "backbone_pretrainer_w": ("backbone_pretrainer",),
+    "all_backbones": ("backbones",),
+    "audio_resnet18": ("backbones", "audio_resnet18"),
+    "vision_r2d1": ("backbones", "vision_r2d1"),
+    "vision_r2d1_fc": ("backbones", "vision_r2d1_fc"),
+    "vision_i3d": ("backbones", "vision_i3d"),
+    "fc_layer_for_audio_concat": ("fc_layer_for_audio_concat",),
+    "transformer_audio_modality_fusion":
+        ("transformer_audio_modality_fusion",),
+    "fc_layer_for_video_concat": ("fc_layer_for_video_concat",),
+    "transformer_visio_modality_fusion":
+        ("transformer_visio_modality_fusion",),
+}
+
+
+def _subtree(tree: Dict[str, Any], path) -> Optional[Dict[str, Any]]:
+    node = tree
+    for p in path:
+        if not isinstance(node, dict) or p not in node:
+            return None
+        node = node[p]
+    return node
+
+
+def export_components(directory: str, params: Dict[str, Any],
+                      batch_stats: Optional[Dict[str, Any]] = None
+                      ) -> Dict[str, str]:
+    """Write one .msgpack per present component (reference layout,
+    main.py:105-177). Returns {component: path}."""
+    os.makedirs(directory, exist_ok=True)
+    written = {}
+    for name, path in _COMPONENTS.items():
+        piece = {"params": _subtree(params, path)}
+        if piece["params"] is None:
+            continue
+        if batch_stats is not None:
+            bs = _subtree(batch_stats, path)
+            if bs is not None:
+                piece["batch_stats"] = bs
+        out = os.path.join(directory, f"{name}.msgpack")
+        with open(out, "wb") as f:
+            f.write(serialization.msgpack_serialize(_to_host(piece)))
+        written[name] = out
+    return written
+
+
+def load_component(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def import_reference_torch_checkpoint(pt_path: str, kind: str,
+                                      **kwargs) -> Dict[str, Any]:
+    """Load a reference SavedWeights/*.pt into flax trees via
+    models.torch_io. `kind` in {'fusion', 'intra_modal_transformer',
+    'fc_layer', 'pretrainer', 'resnet18', 'video_resnet', 'i3d_tcn'}."""
+    import torch
+    from jmt_tpu.models import torch_io as tio
+
+    sd = torch.load(pt_path, map_location="cpu")
+    if isinstance(sd, dict) and "net" in sd:  # the .t7 AFFWILD2 layout
+        sd = sd["net"]
+    converters = {
+        "fusion": tio.two_transformers_params,
+        "intra_modal_transformer": tio.intra_modal_fusion_params,
+        "fc_layer": tio.fc_layer_params,
+        "pretrainer": tio.pretrainer_params,
+        "resnet18": tio.resnet18_vars,
+        "video_resnet": tio.video_resnet_vars,
+        "i3d_tcn": tio.i3d_tcn_vars,
+    }
+    return converters[kind](sd, **kwargs)

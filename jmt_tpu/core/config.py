@@ -116,6 +116,9 @@ class OptimParams:
     mode: str = "min"
     factor: float = 0.5
     patience: int = 10
+    # mirrored from model_params.max_epochs (the reference's optimizer
+    # factory reads it from the same dict, instantiator.py:152-154)
+    max_epochs: int = 20
 
     def __post_init__(self):
         self.nesterov = _as_bool(self.nesterov)
@@ -165,6 +168,7 @@ class ModelParams:
                 else self.l_audio_backbones.split(","))
         if isinstance(self.opt, dict):
             self.opt = OptimParams(**self.opt)
+        self.opt.max_epochs = self.max_epochs
         for b in (self.freeze_vision_R2D1, self.freeze_vision_I3D,
                   self.freeze_audio_ResNet18):
             assert isinstance(_as_bool(b), bool)

@@ -129,9 +129,10 @@ class WindowedDataset:
                  stride: int = 1, win_length: int = 512,
                  frame_loader: FrameLoader = default_frame_loader,
                  audio_loader: AudioLoader = load_wav,
-                 check_coverage: bool = True):
+                 check_coverage: bool = True, img_size: int = IMG_SIZE):
         assert split in ("train", "val", "test"), split
         self.split = split
+        self.img_size = img_size
         self.records = list(records)
         self.frame_loader = frame_loader
         self.audio_loader = audio_loader
@@ -155,7 +156,8 @@ class WindowedDataset:
         ri, win = self.index[i]
         rec = self.records[ri]
         n = W.SUBSEQS_PER_WINDOW
-        clips = np.zeros((n, W.CLIP_LEN, IMG_SIZE, IMG_SIZE, 3), np.uint8)
+        sz = self.img_size
+        clips = np.zeros((n, W.CLIP_LEN, sz, sz, 3), np.uint8)
         audio = np.zeros((n, AUDIO_SAMPLES), np.float32)
         labels_v = np.full((n,), -5.0, np.float32)
         labels_a = np.full((n,), -5.0, np.float32)
@@ -169,7 +171,7 @@ class WindowedDataset:
                 for fi, row in enumerate(clip.rows):
                     img = self.frame_loader(rec.image_paths[row])
                     if img is not None:
-                        clips[ci, fi, :, :, :3] = img[:IMG_SIZE, :IMG_SIZE]
+                        clips[ci, fi, :, :, :3] = img[:sz, :sz]
                     # last row's labels win (dataset_new.py:257-266)
                     labels_v[ci] = rec.labels_v[row]
                     labels_a[ci] = rec.labels_a[row]

@@ -43,6 +43,9 @@ class TwoStreamBackbones(nn.Module):
     audio_backbones: Sequence[str] = ("ResNet18",)  # subset of {ResNet18, wavLM}
     r2d1_arch: str = "r2plus1d"                     # r2plus1d | r3d | mc3
     r2d1_reduce: str = "MAX"                        # MAX | AVG | FLATTEN
+    # backbones being finetuned: their BN uses batch stats when train=True
+    # (the reference's model.eval() + selective .train(True), train.py:27-42)
+    finetune: Sequence[str] = ()
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -59,26 +62,31 @@ class TwoStreamBackbones(nn.Module):
 
     def __call__(self, audio_spec: Optional[jnp.ndarray],
                  clips: Optional[jnp.ndarray],
-                 use_running_average: bool = True,
+                 train: bool = False,
                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
         """audio_spec: (B, S, 64, W, 1) log-mel; clips: (B, S, T, 112, 112, 3).
 
         Returns per-backbone features, each (B, S, 512). wavLM features are
         precomputed and injected by the data pipeline, not computed here
-        (parity with train.py:150-171).
+        (parity with train.py:150-171). `train` flips BN to batch stats ONLY
+        for backbones listed in `finetune` (frozen ones stay in eval mode,
+        matching train.py:27-42).
         """
         feats: Dict[str, jnp.ndarray] = {}
+
+        def ura(name: str) -> bool:
+            return not (train and name in self.finetune)
 
         if "ResNet18" in self.audio_backbones:
             b, s = audio_spec.shape[:2]
             flat = audio_spec.reshape(b * s, *audio_spec.shape[2:])
-            f = self.audio_resnet18(flat, use_running_average)
+            f = self.audio_resnet18(flat, ura("ResNet18"))
             feats["audio_resnet18"] = f.reshape(b, s, 512)
 
         if "R2D1" in self.vision_backbones:
             b, s = clips.shape[:2]
             flat = clips.reshape(b * s, *clips.shape[2:])
-            fmap = self.vision_r2d1(flat, use_running_average,
+            fmap = self.vision_r2d1(flat, ura("R2D1"),
                                     features_only=True)  # (N, T', H', W', 512)
             n = fmap.shape[0]
             if self.r2d1_reduce == "MAX":
@@ -94,7 +102,7 @@ class TwoStreamBackbones(nn.Module):
             b, s = clips.shape[:2]
             flat = clips.reshape(b * s, *clips.shape[2:])
             resized = resize_clips_for_i3d(flat)
-            tfeat = self.vision_i3d(resized, use_running_average,
+            tfeat = self.vision_i3d(resized, ura("I3D"),
                                     deterministic)  # (N, T', 512)
             f = jnp.max(tfeat, axis=1)  # max over time (tsav.py:216)
             feats["vision_i3d"] = f.reshape(b, s, 512)

@@ -29,6 +29,63 @@ import flax.linen as nn
 from jmt_tpu.ops.initializers import (torch_linear_kernel,
                                       xavier_uniform_packed_qkv)
 
+# ---------------------------------------------------------------------------
+# Attention core: scores -> softmax -> PV. On TPU the forward runs as ONE
+# fused Pallas kernel over the (batch*heads) problem set
+# (ops/pallas/fused_attention.py); the backward is the XLA formulation via
+# custom_vjp. Set JMT_TPU_NO_PALLAS=1 to force the XLA path everywhere.
+# ---------------------------------------------------------------------------
+import os as _os
+
+
+def _core_xla(q_scaled: jnp.ndarray, k: jnp.ndarray,
+              v: jnp.ndarray) -> jnp.ndarray:
+    """q_scaled/k/v: (B, L, H, hd); q pre-scaled by hd**-0.5."""
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q_scaled, k,
+                        preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _pallas_ok(q: jnp.ndarray) -> bool:
+    if _os.environ.get("JMT_TPU_NO_PALLAS") == "1":
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    b, l, h, hd = q.shape
+    return l <= 128 and hd <= 256
+
+
+@jax.custom_vjp
+def attention_core(q_scaled, k, v):
+    if _pallas_ok(q_scaled):
+        from jmt_tpu.ops.pallas.fused_attention import fused_attention
+        b, lq, h, hd = q_scaled.shape
+        lk = k.shape[1]
+        to_bh = lambda x, l: jnp.transpose(x, (0, 2, 1, 3)).reshape(
+            b * h, l, hd)
+        out = fused_attention(to_bh(q_scaled, lq), to_bh(k, lk),
+                              to_bh(v, lk))
+        return jnp.transpose(out.reshape(b, h, lq, hd), (0, 2, 1, 3))
+    return _core_xla(q_scaled, k, v)
+
+
+def _attention_fwd(q_scaled, k, v):
+    return attention_core(q_scaled, k, v), (q_scaled, k, v)
+
+
+def _attention_bwd(res, g):
+    q_scaled, k, v = res
+    _, vjp = jax.vjp(_core_xla, q_scaled, k, v)
+    return vjp(g)
+
+
+attention_core.defvjp(_attention_fwd, _attention_bwd)
+
 
 def multi_head_attention(q_in: jnp.ndarray, k_in: jnp.ndarray,
                          v_in: jnp.ndarray,
@@ -65,14 +122,7 @@ def multi_head_attention(q_in: jnp.ndarray, k_in: jnp.ndarray,
     k = k.reshape(b, lk, num_heads, head_dim)
     v = v.reshape(b, lk, num_heads, head_dim)
 
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    attn = jax.nn.softmax(scores, axis=-1)
-    if dtype is not None:
-        attn = attn.astype(dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
-                     preferred_element_type=jnp.float32)
-    out = out.reshape(b, lq, embed_dim)
+    out = attention_core(q, k, v).reshape(b, lq, embed_dim)
     if dtype is not None:
         out = out.astype(dtype)
         out_proj_kernel = out_proj_kernel.astype(dtype)

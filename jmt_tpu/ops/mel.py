@@ -135,6 +135,27 @@ def log_mel_batch(audio: jnp.ndarray, batch_dims: int = 1) -> jnp.ndarray:
     return (db - SPEC_MEAN) / SPEC_STD
 
 
+def log_mel(audio: jnp.ndarray, batch_dims: int = 1) -> jnp.ndarray:
+    """Dispatching front-end: the fused Pallas kernel on TPU
+    (ops/pallas/melspec.py), the XLA rfft path elsewhere. fp32-identical.
+    Set JMT_TPU_NO_PALLAS=1 to force XLA."""
+    import os
+    use_pallas = False
+    if os.environ.get("JMT_TPU_NO_PALLAS") != "1":
+        try:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and audio.shape[-1] == AUDIO_SAMPLES)
+        except Exception:
+            use_pallas = False
+    if not use_pallas:
+        return log_mel_batch(audio, batch_dims=batch_dims)
+    from jmt_tpu.ops.pallas.melspec import log_mel_pallas
+    lead = audio.shape[:-1]
+    flat = audio.reshape(-1, audio.shape[-1])
+    out = log_mel_pallas(flat)
+    return out.reshape(*lead, N_MELS, SPEC_FRAMES)
+
+
 def pad_audio(audio: np.ndarray, length: int = AUDIO_SAMPLES) -> np.ndarray:
     """LEFT-zero-pad to fixed length (dataset_new.py:305-308); longer clips
     are kept (the reference only pads when <= 45599)."""

@@ -1,0 +1,2 @@
+from jmt_tpu.parallel.mesh import (make_mesh, batch_sharding,
+                                   replicated_sharding, shard_batch)

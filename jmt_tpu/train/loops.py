@@ -1,0 +1,151 @@
+"""Jitted train/eval steps + epoch runners.
+
+Replaces the reference's hot path (train.py:91-333): instead of a Python
+loop over batch items with AMP autocast and in-loop disk reads, ONE jitted
+step consumes raw uint8 clips + raw audio and runs the entire pipeline on
+device — color augmentation, log-mel front-end, all backbones over the
+flattened (B*S) clip batch, intra/inter-modal fusion, CCC loss, and the
+optimizer update. bf16 matmuls replace torch.cuda.amp (no loss scaling
+needed on TPU). Batches are sharded over the mesh's data axis; XLA inserts
+the gradient all-reduce.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from jmt_tpu.ops.ccc import ccc_loss
+from jmt_tpu.ops.mel import log_mel
+from jmt_tpu.data.transforms import preprocess_clips, sample_color_factors
+from jmt_tpu.train.state import TrainState, merge_params
+from jmt_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+
+def device_batch(batch) -> Dict[str, Any]:
+    """Host Batch -> dict of arrays for the jitted steps."""
+    out = {
+        "clips": batch.clips,           # uint8 (B,S,8,112,112,3)
+        "audio": batch.audio,           # f32 (B,S,45599)
+        "labels_v": batch.labels_v,
+        "labels_a": batch.labels_a,
+    }
+    if batch.wavlm is not None:
+        out["wavlm"] = batch.wavlm
+    return out
+
+
+def _preprocess(model, arrays: Dict[str, Any], key: Optional[jax.Array],
+                augment: bool):
+    """Device-side preprocessing shared by train/eval steps."""
+    clips = None
+    spec = None
+    if len(model.vision_backbones) > 0:
+        c = arrays["clips"]
+        b, s = c.shape[:2]
+        flat = c.reshape(b * s, *c.shape[2:])
+        if augment:
+            bf, cf = sample_color_factors(key, b * s)
+            flat = preprocess_clips(flat, bf, cf, augment=True)
+        else:
+            flat = preprocess_clips(flat)
+        clips = flat.reshape(b, s, *flat.shape[1:])
+    if "ResNet18" in model.audio_backbones:
+        mel = log_mel(arrays["audio"], batch_dims=2)  # (B,S,64,T)
+        spec = mel[..., None]  # (B,S,64,T,1) channels-last
+    return spec, clips
+
+
+def make_train_step(model, tx) -> Callable:
+    """Returns jitted train_step(state, arrays, key) ->
+    (state, loss, vouts, aouts)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, arrays: Dict[str, Any],
+                   key: jax.Array):
+        pre_key, drop_key = jax.random.split(key)
+        spec, clips = _preprocess(model, arrays, pre_key, augment=True)
+        wavlm = arrays.get("wavlm")
+
+        def loss_fn(trainable):
+            params = merge_params(trainable, state.frozen)
+            (vouts, aouts), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                spec, clips, wavlm, train=True,
+                rngs={"dropout": drop_key}, mutable=["batch_stats"])
+            # flatten exactly like train.py:303-311 (quirk-compatible)
+            v_loss = ccc_loss(vouts.reshape(-1),
+                              arrays["labels_v"].reshape(-1))
+            a_loss = ccc_loss(aouts.reshape(-1),
+                              arrays["labels_a"].reshape(-1))
+            return v_loss + a_loss, (vouts, aouts,
+                                     updates.get("batch_stats",
+                                                 state.batch_stats))
+
+        (loss, (vouts, aouts, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.trainable)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        new_state = TrainState(trainable=trainable, frozen=state.frozen,
+                               batch_stats=new_bs, opt_state=opt_state,
+                               epoch=state.epoch)
+        return new_state, loss, vouts, aouts
+
+    return train_step
+
+
+def make_eval_step(model) -> Callable:
+    """Returns jitted eval_step(state, arrays) -> (vouts, aouts)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, arrays: Dict[str, Any]):
+        spec, clips = _preprocess(model, arrays, None, augment=False)
+        params = merge_params(state.trainable, state.frozen)
+        return model.apply(
+            {"params": params, "batch_stats": state.batch_stats},
+            spec, clips, arrays.get("wavlm"), train=False)
+
+    return eval_step
+
+
+def init_state(model, cfg, rng: jax.Array, sample_arrays: Dict[str, Any],
+               tx) -> TrainState:
+    """Initialize params/batch_stats from a sample batch and build the
+    trainable/frozen partition per the config's freeze policy."""
+    from jmt_tpu.train.state import frozen_prefixes, partition_params
+
+    spec, clips = _preprocess(model, sample_arrays, None, augment=False)
+    variables = model.init(rng, spec, clips, sample_arrays.get("wavlm"))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    trainable, frz = partition_params(params, frozen_prefixes(cfg))
+    opt_state = tx.init(trainable)
+    return TrainState(trainable=trainable, frozen=frz,
+                      batch_stats=batch_stats, opt_state=opt_state, epoch=0)
+
+
+def batches_from_dataset(dataset, batch_size: int, shuffle: bool,
+                         rng: Optional[np.random.Generator] = None,
+                         drop_last: bool = False,
+                         wavlm_store=None):
+    """Minimal host batcher over a WindowedDataset (collate + optional
+    wavLM feature join)."""
+    from jmt_tpu.data.datasets import collate
+
+    order = np.arange(len(dataset))
+    if shuffle:
+        (rng or np.random.default_rng()).shuffle(order)
+    for i in range(0, len(order), batch_size):
+        idx = order[i:i + batch_size]
+        if drop_last and len(idx) < batch_size:
+            return
+        batch = collate([dataset[int(j)] for j in idx])
+        if wavlm_store is not None:
+            batch.wavlm = wavlm_store.lookup_batch(batch.wav_paths)
+        yield batch

@@ -1,0 +1,243 @@
+"""Experiment orchestrator — the reference's main() re-designed.
+
+Capability target: main.py:180-1081 — build model + datasets from config,
+epoch loop with per-epoch reseeding (main.py:898-922), epoch train + stitched
+validation, best-model tracking by average valid CCC (main.py:843-995),
+per-component weight dumps, perfs.yml + tracker curves + passed.txt.
+
+Differences by design (TPU-native):
+* one jitted train step over the sharded batch — no per-item python loop,
+  no AMP scaler, no DataParallel;
+* full train-state checkpointing for true resume (the reference saves
+  weights only);
+* static per-device batch via padding instead of drop_last.
+"""
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from jmt_tpu.core.config import Config, ExperimentDir
+from jmt_tpu.core.logging import init_logger, get_logger
+from jmt_tpu.core.rng import set_global_seed
+from jmt_tpu.core import checkpoint as ckpt
+from jmt_tpu.models.jmt_model import model_from_config
+from jmt_tpu.ops.ccc import ccc_metric
+from jmt_tpu.train import optim as O
+from jmt_tpu.train.loops import (make_train_step, make_eval_step, init_state,
+                                 device_batch, batches_from_dataset)
+from jmt_tpu.train.state import TrainState
+from jmt_tpu.eval.stitch import Stitcher, write_challenge_txt
+from jmt_tpu.parallel.mesh import pad_batch_to
+
+
+@dataclasses.dataclass
+class EpochMetrics:
+    train_ccc_v: float = 0.0
+    train_ccc_a: float = 0.0
+    valid_ccc_v: float = 0.0
+    valid_ccc_a: float = 0.0
+
+    @property
+    def valid_avg(self) -> float:
+        return (self.valid_ccc_v + self.valid_ccc_a) / 2.0
+
+
+class Runner:
+    def __init__(self, cfg: Config, train_ds, val_ds,
+                 wavlm_store=None, test_ds=None):
+        self.cfg = cfg
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.test_ds = test_ds
+        self.wavlm_store = wavlm_store
+        self.exp = ExperimentDir(cfg)
+        self.log = get_logger()
+
+        self.model = model_from_config(cfg)
+        self.tx = O.build_optimizer(cfg.model_params.opt)
+        self.lr_fn = O.lr_schedule(cfg.model_params.opt)
+        self.plateau = (O.ReduceLROnPlateau(cfg.model_params.opt)
+                        if cfg.model_params.opt.name_lr_scheduler
+                        == "reduce_on_plateau"
+                        and cfg.model_params.opt.lr_scheduler else None)
+        self.train_step = make_train_step(self.model, self.tx)
+        self.eval_step = make_eval_step(self.model)
+        self.state: Optional[TrainState] = None
+        self.tracker: Dict[str, list] = {"train_v": [], "train_a": [],
+                                         "valid_v": [], "valid_a": []}
+        self.best = {"avg": -np.inf, "epoch": -1}
+
+    # ------------------------------------------------------------------
+    def _first_batch_arrays(self):
+        bsz = self.cfg.train_params.loader_params.batch_size
+        batch = next(batches_from_dataset(
+            self.train_ds, min(bsz, max(len(self.train_ds), 1)),
+            shuffle=False, wavlm_store=self.wavlm_store))
+        return device_batch(batch)
+
+    def initialize(self) -> None:
+        set_global_seed(self.cfg.SEED)
+        arrays = self._first_batch_arrays()
+        self.state = init_state(self.model, self.cfg,
+                                jax.random.PRNGKey(self.cfg.SEED),
+                                arrays, self.tx)
+        from jmt_tpu.train.state import param_count
+        self.log.log({
+            "trainable_params": param_count(self.state.trainable),
+            "frozen_params": param_count(self.state.frozen),
+        })
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> EpochMetrics:
+        cfg = self.cfg
+        lr = (self.lr_fn(epoch) if self.plateau is None else self.plateau.lr)
+        self.state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr, jnp.float32)
+        # per-epoch reseed contract (main.py:898-899)
+        set_global_seed(cfg.SEED + epoch)
+        rng = np.random.default_rng(cfg.SEED + epoch)
+        key = jax.random.PRNGKey(cfg.SEED + epoch)
+
+        bsz = cfg.train_params.loader_params.batch_size
+        vout, vtar, aout, atar = [], [], [], []
+        epoch_loss, n = 0.0, 0
+        for batch in batches_from_dataset(
+                self.train_ds, bsz,
+                shuffle=cfg.train_params.loader_params.shuffle, rng=rng,
+                drop_last=False, wavlm_store=self.wavlm_store):
+            arrays = device_batch(batch)
+            arrays, n_real = pad_batch_to(arrays, bsz)
+            key, sub = jax.random.split(key)
+            self.state, loss, vouts, aouts = self.train_step(
+                self.state, arrays, sub)
+            epoch_loss += float(loss)
+            n += 1
+            vouts = np.asarray(vouts).reshape(-1)
+            aouts = np.asarray(aouts).reshape(-1)
+            lv = arrays["labels_v"].reshape(-1)
+            la = arrays["labels_a"].reshape(-1)
+            keep = slice(0, n_real * batch.labels_v.shape[1])
+            vout.extend(vouts[keep]); vtar.extend(lv[keep])
+            aout.extend(aouts[keep]); atar.extend(la[keep])
+
+        if self.plateau is not None and n:
+            self.plateau.step(epoch_loss / n)
+        m = EpochMetrics(
+            train_ccc_v=float(ccc_metric(jnp.asarray(np.array(vout)),
+                                         jnp.asarray(np.array(vtar)))),
+            train_ccc_a=float(ccc_metric(jnp.asarray(np.array(aout)),
+                                         jnp.asarray(np.array(atar)))))
+        return m
+
+    # ------------------------------------------------------------------
+    def validate(self, dataset=None, store_pkl: str = "") -> EpochMetrics:
+        set_global_seed(self.cfg.SEED)  # main.py:922
+        dataset = dataset if dataset is not None else self.val_ds
+        bsz = self.cfg.val_params.loader_params.batch_size
+        stitcher = Stitcher(with_labels=True)
+        for batch in batches_from_dataset(dataset, bsz, shuffle=False,
+                                          wavlm_store=self.wavlm_store):
+            arrays = device_batch(batch)
+            arrays, n_real = pad_batch_to(arrays, bsz)
+            vouts, aouts = self.eval_step(self.state, arrays)
+            stitcher.add_batch(np.asarray(vouts), np.asarray(aouts),
+                               batch.anchors, batch.videos, batch.lengths,
+                               batch.labels_v, batch.labels_a,
+                               n_real=n_real)
+        ccc_v, ccc_a = stitcher.scores()
+        if store_pkl:
+            stitcher.dump_pkl(store_pkl)
+        return EpochMetrics(valid_ccc_v=ccc_v, valid_ccc_a=ccc_a)
+
+    def test(self, dir_out: str, store_pkl: str = "") -> None:
+        """Challenge inference: stitch + write {vid}.txt (test.py:15-363)."""
+        assert self.test_ds is not None
+        bsz = self.cfg.test_params.loader_params.batch_size
+        stitcher = Stitcher(with_labels=False)
+        for batch in batches_from_dataset(self.test_ds, bsz, shuffle=False,
+                                          wavlm_store=self.wavlm_store):
+            arrays = device_batch(batch)
+            arrays, n_real = pad_batch_to(arrays, bsz)
+            vouts, aouts = self.eval_step(self.state, arrays)
+            stitcher.add_batch(np.asarray(vouts), np.asarray(aouts),
+                               batch.anchors, batch.videos, batch.lengths,
+                               n_real=n_real)
+        write_challenge_txt(stitcher, dir_out)
+        if store_pkl:
+            stitcher.dump_pkl(store_pkl)
+
+    # ------------------------------------------------------------------
+    def dump_best(self) -> None:
+        params = self.state.params()
+        ckpt.export_components(self.exp.weights_dir, params,
+                               self.state.batch_stats)
+        ckpt.save_train_state(self.exp.weights_dir, self.state)
+
+    def fit(self) -> Dict[str, float]:
+        if self.exp.already_done():
+            self.log.log("experiment already passed; skipping "
+                         "(passed.txt guard)")
+            return {}
+        self.exp.create()
+        if self.state is None:
+            self.initialize()
+        cfg = self.cfg
+        start = cfg.model_params.start_epoch
+        for epoch in range(start, cfg.model_params.max_epochs):
+            t0 = datetime.datetime.now()
+            tm = self.train_epoch(epoch)
+            vm = self.validate()
+            self.tracker["train_v"].append(tm.train_ccc_v)
+            self.tracker["train_a"].append(tm.train_ccc_a)
+            self.tracker["valid_v"].append(vm.valid_ccc_v)
+            self.tracker["valid_a"].append(vm.valid_ccc_a)
+            if vm.valid_avg >= self.best["avg"]:
+                self.best = {"avg": vm.valid_avg, "epoch": epoch,
+                             "valid_v": vm.valid_ccc_v,
+                             "valid_a": vm.valid_ccc_a}
+                if cfg.dump_best_model_every_time:
+                    self.dump_best()
+            self.state = dataclasses.replace(self.state, epoch=epoch + 1)
+            self.log.metrics(step=epoch,
+                             train_ccc_v=tm.train_ccc_v,
+                             train_ccc_a=tm.train_ccc_a,
+                             valid_ccc_v=vm.valid_ccc_v,
+                             valid_ccc_a=vm.valid_ccc_a,
+                             best_epoch=self.best["epoch"],
+                             epoch_seconds=(datetime.datetime.now()
+                                            - t0).total_seconds())
+        self.dump_best()
+        self._plot_tracker()
+        perfs = {"best": self.best, "tracker": self.tracker}
+        self.exp.finalize(perfs)
+        return perfs
+
+    def _plot_tracker(self) -> None:
+        """Learning-curve PNG (tools.py:61-155 equivalent); optional."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+        for ax, key, title in ((axes[0], "v", "valence CCC"),
+                               (axes[1], "a", "arousal CCC")):
+            ax.plot(self.tracker[f"train_{key}"], label="train")
+            ax.plot(self.tracker[f"valid_{key}"], label="valid")
+            if self.best["epoch"] >= 0:
+                ax.axvline(self.best["epoch"], ls="--", c="gray")
+            ax.set_title(title)
+            ax.set_xlabel("epoch")
+            ax.legend()
+        fig.tight_layout()
+        fig.savefig(os.path.join(self.exp.path, "tracker.png"), dpi=100)
+        plt.close(fig)

@@ -1,0 +1,109 @@
+"""Data-parallel mesh: sharded train step == single-device numerics.
+
+The TPU-world fake backend (8 virtual CPU devices, conftest.py) — the analog
+of the reference's... nothing; it has no multi-device tests because its only
+parallelism is nn.DataParallel (SURVEY.md §2.1 Parallelism).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from jmt_tpu.core.config import Config
+from jmt_tpu.parallel.mesh import make_mesh, shard_batch, pad_batch_to
+from jmt_tpu.train import optim as O
+from jmt_tpu.train.loops import make_train_step, make_eval_step, init_state
+
+
+def tiny_cfg():
+    return Config.from_dict({
+        "train_params": {}, "val_params": {}, "test_params": {},
+        "model_params": {
+            "l_vision_backbones": "R2D1",
+            "l_audio_backbones": "ResNet18",
+            "joint_modalities": "TRANSFORMER",
+            "output_format": "SELF_ATTEN",
+            "compute_dtype": "float32",
+        },
+    })
+
+
+def tiny_arrays(b=8, s=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "clips": rng.integers(0, 255, size=(b, s, 8, 32, 32, 3),
+                              dtype=np.uint8),
+        "audio": (rng.normal(size=(b, s, 45599)) * 0.1).astype(np.float32),
+        "labels_v": rng.uniform(-1, 1, size=(b, s)).astype(np.float32),
+        "labels_a": rng.uniform(-1, 1, size=(b, s)).astype(np.float32),
+    }
+
+
+@pytest.mark.slow
+def test_sharded_train_step_matches_single_device():
+    assert len(jax.devices()) >= 8
+    from jmt_tpu.models.jmt_model import model_from_config
+    cfg = tiny_cfg()
+    model = model_from_config(cfg)
+    tx = O.build_optimizer(cfg.model_params.opt)
+    arrays = tiny_arrays()
+    state = init_state(model, cfg, jax.random.PRNGKey(0), arrays, tx)
+    step = make_train_step(model, tx)
+    key = jax.random.PRNGKey(1)
+
+    # single device (no explicit sharding)
+    s1, l1, v1, a1 = step(jax.tree.map(jnp.array, state),
+                          jax.tree.map(jnp.array, arrays), key)
+
+    # 8-way data parallel
+    mesh = make_mesh(8)
+    repl = NamedSharding(mesh, P())
+    st = jax.device_put(state, repl)
+    arr = shard_batch(mesh, arrays)
+    s8, l8, v8, a8 = step(st, arr, key)
+
+    assert float(l1) == pytest.approx(float(l8), abs=2e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v8), atol=2e-4)
+    # updated params identical across paths (grad all-reduce correctness)
+    for x, y in zip(jax.tree.leaves(s1.trainable),
+                    jax.tree.leaves(s8.trainable)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_sharded_eval_step_runs():
+    from jmt_tpu.models.jmt_model import model_from_config
+    cfg = tiny_cfg()
+    model = model_from_config(cfg)
+    tx = O.build_optimizer(cfg.model_params.opt)
+    arrays = tiny_arrays(b=8)
+    state = init_state(model, cfg, jax.random.PRNGKey(0), arrays, tx)
+    mesh = make_mesh(8)
+    st = jax.device_put(state, NamedSharding(mesh, P()))
+    arr = shard_batch(mesh, arrays)
+    ev = make_eval_step(model)
+    v, a = ev(st, arr)
+    assert v.shape == (8, 2)
+    assert np.isfinite(np.asarray(v)).all()
+
+
+def test_pad_batch_to():
+    arrays = tiny_arrays(b=3)
+    padded, n_real = pad_batch_to(arrays, 8)
+    assert n_real == 3
+    assert padded["clips"].shape[0] == 8
+    assert not padded["clips"][3:].any()
+    np.testing.assert_array_equal(padded["audio"][:3], arrays["audio"])
+
+
+def test_graft_entry_single_chip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    v, a = out
+    assert v.shape == (1, 4)
+    assert np.isfinite(np.asarray(v, dtype=np.float32)).all()
