@@ -129,10 +129,20 @@ class WindowedDataset:
                  stride: int = 1, win_length: int = 512,
                  frame_loader: FrameLoader = default_frame_loader,
                  audio_loader: AudioLoader = load_wav,
-                 check_coverage: bool = True, img_size: int = IMG_SIZE):
+                 check_coverage: bool = True, img_size: int = IMG_SIZE,
+                 use_native: Optional[bool] = None):
         assert split in ("train", "val", "test"), split
         self.split = split
         self.img_size = img_size
+        # native batched decode only makes sense with the default file
+        # loaders (synthetic/test loaders stay pluggable)
+        if use_native is None:
+            use_native = (frame_loader is default_frame_loader
+                          and audio_loader is load_wav)
+        if use_native:
+            from jmt_tpu.data import native as _native
+            use_native = _native.available()
+        self.use_native = bool(use_native)
         self.records = list(records)
         self.frame_loader = frame_loader
         self.audio_loader = audio_loader
@@ -163,20 +173,39 @@ class WindowedDataset:
         labels_a = np.full((n,), -5.0, np.float32)
         anchors = np.zeros((n,), np.int64)
         wav_paths: List[str] = []
+        # (clip, frame) slots to fill + their file paths
+        frame_slots: List = []
+        audio_slots: List[int] = []
         for ci, clip in enumerate(win.clips):
             anchors[ci] = clip.anchor
             wav_path = os.path.join(rec.wav_dir, f"{clip.anchor}.wav")
             wav_paths.append(wav_path)
             if clip.rows is not None:
                 for fi, row in enumerate(clip.rows):
-                    img = self.frame_loader(rec.image_paths[row])
-                    if img is not None:
-                        clips[ci, fi, :, :, :3] = img[:sz, :sz]
+                    frame_slots.append((ci, fi, rec.image_paths[row]))
                     # last row's labels win (dataset_new.py:257-266)
                     labels_v[ci] = rec.labels_v[row]
                     labels_a[ci] = rec.labels_a[row]
-                audio[ci] = _fit_audio(self.audio_loader(wav_path))
+                audio_slots.append(ci)
             # placeholder: zero frames/audio, -5 labels (dataset_val.py)
+
+        if self.use_native and frame_slots:
+            from jmt_tpu.data import native as _native
+            imgs = _native.decode_jpeg_batch(
+                [p for _, _, p in frame_slots], sz, sz)
+            wavs = _native.decode_wav_batch(
+                [wav_paths[ci] for ci in audio_slots], AUDIO_SAMPLES)
+            for k, (ci, fi, _) in enumerate(frame_slots):
+                clips[ci, fi] = imgs[k]
+            for k, ci in enumerate(audio_slots):
+                audio[ci] = wavs[k]
+        else:
+            for ci, fi, path in frame_slots:
+                img = self.frame_loader(path)
+                if img is not None:
+                    clips[ci, fi, :, :, :3] = img[:sz, :sz]
+            for ci in audio_slots:
+                audio[ci] = _fit_audio(self.audio_loader(wav_paths[ci]))
         return Sample(clips=clips, audio=audio, labels_v=labels_v,
                       labels_a=labels_a, anchors=anchors, video=rec.name,
                       length=rec.length, wav_paths=wav_paths)

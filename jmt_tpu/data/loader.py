@@ -1,0 +1,84 @@
+"""Prefetching host->device pipeline.
+
+Replaces the reference's torch DataLoader worker processes (4 workers,
+config_file.json:22) with a background producer thread and a bounded queue:
+sample materialization (native batched JPEG/WAV decode, data/native.py) and
+collation run ahead of the training step, overlapping host IO with device
+compute. A thread (not a process) suffices because the heavy work happens
+in libjpeg/libc inside the native library, which releases the GIL; the
+native decoder additionally fans out across its own pthreads.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from jmt_tpu.data.datasets import Batch, collate
+
+_SENTINEL = object()
+
+
+class PrefetchLoader:
+    """Iterate collated batches with up to `prefetch` prepared ahead."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 rng: Optional[np.random.Generator] = None,
+                 drop_last: bool = False, wavlm_store=None,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = rng
+        self.drop_last = drop_last
+        self.wavlm_store = wavlm_store
+        self.prefetch = max(1, prefetch)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            (self.rng or np.random.default_rng()).shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            idx = order[i:i + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            yield idx
+
+    def __iter__(self) -> Iterator[Batch]:
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for idx in self._index_batches():
+                    if stop.is_set():
+                        return
+                    batch = collate([self.dataset[int(j)] for j in idx])
+                    if self.wavlm_store is not None:
+                        batch.wavlm = self.wavlm_store.lookup_batch(
+                            batch.wav_paths)
+                    out_q.put(batch)
+                out_q.put(_SENTINEL)
+            except Exception as e:
+                out_q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is _SENTINEL:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

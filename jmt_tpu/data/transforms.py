@@ -78,3 +78,116 @@ def normalize_clips_reference(clips_u8: np.ndarray) -> np.ndarray:
     tools: uint8 (T,H,W,3) -> float32 normalized."""
     x = clips_u8.astype(np.float32) / 255.0
     return (x - VIS_MEAN) / VIS_STD
+
+
+# ---------------------------------------------------------------------------
+# "More augmentation" vision path (use_more_vision_data_augm)
+# ---------------------------------------------------------------------------
+# Capability target: more_random_vision_augmentation (clip_transforms.py:
+# 277-298): per-FRAME random rotation +-6deg, RandomResizedCrop(scale
+# 0.8-1.0, ratio 1:1) back to the full size, horizontal flip p=.5, grayscale
+# p=.2, ColorJitter(brightness/contrast/saturation 0.4, hue 0.1) p=.8.
+# Device-side: rotation+crop compose into ONE affine bilinear resample per
+# frame; hue rotates in YIQ space (the standard linear approximation of PIL's
+# HSV hue shift); everything vectorized over (N*T) frames.
+
+def _affine_grid(h: int, w: int, angle, scale, tx, ty):
+    """Sampling coordinates for rotate(angle)+scaled center crop.
+    angle (rad), scale = crop_size/full_size, tx/ty crop offsets in [-1,1]
+    relative units. Returns (ys, xs) each (..., h, w)."""
+    yy = (jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2)[None, :, None]
+    xx = (jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2)[None, None, :]
+    c = jnp.cos(angle)[:, None, None]
+    s = jnp.sin(angle)[:, None, None]
+    sc = scale[:, None, None]
+    ys = sc * (s * xx + c * yy) + ty[:, None, None] * (h - 1) / 2 + (h - 1) / 2
+    xs = sc * (c * xx - s * yy) + tx[:, None, None] * (w - 1) / 2 + (w - 1) / 2
+    return ys, xs
+
+
+def _bilinear_sample(img, ys, xs):
+    """img (h, w, 3); ys/xs (h, w) -> (h, w, 3), zero padding outside."""
+    h, w = img.shape[:2]
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+
+    def at(yi, xi):
+        valid = ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))[..., None]
+        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        return jnp.where(valid, v, 0.0)
+
+    return ((1 - wy) * (1 - wx) * at(y0, x0)
+            + (1 - wy) * wx * at(y0, x0 + 1)
+            + wy * (1 - wx) * at(y0 + 1, x0)
+            + wy * wx * at(y0 + 1, x0 + 1))
+
+
+# YIQ hue rotation (linear stand-in for HSV hue shift)
+_RGB2YIQ = np.array([[0.299, 0.587, 0.114],
+                     [0.596, -0.274, -0.322],
+                     [0.211, -0.523, 0.312]], np.float32)
+_YIQ2RGB = np.linalg.inv(_RGB2YIQ).astype(np.float32)
+
+
+@jax.jit
+def more_vision_augment(clips_u8: jnp.ndarray,
+                        key: jax.Array) -> jnp.ndarray:
+    """clips_u8 (N, T, H, W, 3) uint8 -> normalized float32, with the
+    extra-augmentation chain applied per frame."""
+    n, t, h, w, _ = clips_u8.shape
+    nf = n * t
+    x = clips_u8.astype(jnp.float32).reshape(nf, h, w, 3)
+    ks = jax.random.split(key, 10)
+
+    # rotation +-6 deg, crop scale in [0.8, 1.0] area, random offset
+    angle = jax.random.uniform(ks[0], (nf,), minval=-6.0, maxval=6.0)
+    angle = angle * (np.pi / 180.0)
+    area = jax.random.uniform(ks[1], (nf,), minval=0.8, maxval=1.0)
+    side = jnp.sqrt(area)
+    max_off = 1.0 - side
+    tx = jax.random.uniform(ks[2], (nf,), minval=-1.0, maxval=1.0) * max_off
+    ty = jax.random.uniform(ks[3], (nf,), minval=-1.0, maxval=1.0) * max_off
+    ys, xs = _affine_grid(h, w, angle, side, tx, ty)
+    x = jax.vmap(_bilinear_sample)(x, ys, xs)
+
+    # horizontal flip p=.5
+    flip = jax.random.bernoulli(ks[4], 0.5, (nf, 1, 1, 1))
+    x = jnp.where(flip, x[:, :, ::-1, :], x)
+
+    # grayscale p=.2
+    gray = jnp.einsum("fhwc,c->fhw", x, jnp.asarray(_LUMA))[..., None]
+    g = jax.random.bernoulli(ks[5], 0.2, (nf, 1, 1, 1))
+    x = jnp.where(g, jnp.repeat(gray, 3, axis=-1), x)
+
+    # color jitter p=.8: brightness/contrast/saturation 0.4, hue 0.1
+    jit = jax.random.bernoulli(ks[6], 0.8, (nf, 1, 1, 1)).astype(jnp.float32)
+    bf = jax.random.uniform(ks[7], (nf, 1, 1, 1), minval=0.6, maxval=1.4)
+    cf = jax.random.uniform(ks[8], (nf, 1, 1, 1), minval=0.6, maxval=1.4)
+    kk = jax.random.split(ks[9], 2)
+    sf = jax.random.uniform(kk[0], (nf, 1, 1, 1), minval=0.6, maxval=1.4)
+    hf = jax.random.uniform(kk[1], (nf,), minval=-0.1, maxval=0.1)
+    bf = 1 + (bf - 1) * jit
+    cf = 1 + (cf - 1) * jit
+    sf = 1 + (sf - 1) * jit
+    hf = hf * jit[:, 0, 0, 0]
+
+    x = jnp.clip(x * bf, 0, 255)
+    mean = jnp.mean(jnp.einsum("fhwc,c->fhw", x, jnp.asarray(_LUMA)),
+                    axis=(1, 2))[:, None, None, None]
+    x = jnp.clip(cf * x + (1 - cf) * mean, 0, 255)
+    gray = jnp.einsum("fhwc,c->fhw", x, jnp.asarray(_LUMA))[..., None]
+    x = jnp.clip(sf * x + (1 - sf) * gray, 0, 255)
+    # hue: rotate IQ plane
+    theta = hf * (2 * np.pi)
+    yiq = jnp.einsum("fhwc,dc->fhwd", x, jnp.asarray(_RGB2YIQ))
+    cth, sth = jnp.cos(theta)[:, None, None], jnp.sin(theta)[:, None, None]
+    i2 = cth * yiq[..., 1] - sth * yiq[..., 2]
+    q2 = sth * yiq[..., 1] + cth * yiq[..., 2]
+    yiq = jnp.stack([yiq[..., 0], i2, q2], axis=-1)
+    x = jnp.clip(jnp.einsum("fhwd,cd->fhwc", yiq, jnp.asarray(_YIQ2RGB)),
+                 0, 255)
+
+    x = x.reshape(n, t, h, w, 3) / 255.0
+    return (x - jnp.asarray(VIS_MEAN)) / jnp.asarray(VIS_STD)

@@ -92,6 +92,23 @@ def ccc_loss_masked(pred: jnp.ndarray, target: jnp.ndarray,
     return 1.0 - ccc
 
 
+def digitized_expectation(logits: jnp.ndarray, num_bins: int,
+                          v_range=(-1.0, 1.0)) -> jnp.ndarray:
+    """The CCCLoss digitize_num > 1 path (losses/loss.py:14-22): softmax
+    over `num_bins` class logits, expectation over linspace bins."""
+    bins = jnp.linspace(v_range[0], v_range[1], num_bins)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.sum(bins * probs, axis=-1)
+
+
+def ccc_loss_digitized(logits: jnp.ndarray, target: jnp.ndarray,
+                       num_bins: int, eps: float = 1e-8) -> jnp.ndarray:
+    """1 - CCC on the binned expectation (losses/loss.py with
+    digitize_num=num_bins > 1). logits: (..., num_bins)."""
+    x = digitized_expectation(logits.reshape(-1, num_bins), num_bins)
+    return ccc_loss(x, target, eps=eps)
+
+
 # jitted convenience entry points
 ccc_loss_jit = jax.jit(ccc_loss)
 ccc_metric_jit = jax.jit(ccc_metric)

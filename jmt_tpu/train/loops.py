@@ -41,27 +41,46 @@ def device_batch(batch) -> Dict[str, Any]:
 
 
 def _preprocess(model, arrays: Dict[str, Any], key: Optional[jax.Array],
-                augment: bool):
-    """Device-side preprocessing shared by train/eval steps."""
+                augment: bool, more_vision_augm: bool = False,
+                more_audio_augm: bool = False):
+    """Device-side preprocessing shared by train/eval steps.
+
+    more_*_augm: the reference's optional heavy augmentation paths
+    (use_more_vision_data_augm / use_more_audio_data_augm) — static flags,
+    train only.
+    """
     clips = None
     spec = None
+    if key is not None:
+        kv, ka, kc = jax.random.split(key, 3)
     if len(model.vision_backbones) > 0:
         c = arrays["clips"]
         b, s = c.shape[:2]
         flat = c.reshape(b * s, *c.shape[2:])
-        if augment:
-            bf, cf = sample_color_factors(key, b * s)
+        if augment and more_vision_augm:
+            from jmt_tpu.data.transforms import more_vision_augment
+            flat = more_vision_augment(flat, kv)
+        elif augment:
+            bf, cf = sample_color_factors(kc, b * s)
             flat = preprocess_clips(flat, bf, cf, augment=True)
         else:
             flat = preprocess_clips(flat)
         clips = flat.reshape(b, s, *flat.shape[1:])
     if "ResNet18" in model.audio_backbones:
-        mel = log_mel(arrays["audio"], batch_dims=2)  # (B,S,64,T)
+        if augment and more_audio_augm:
+            from jmt_tpu.ops.audio_augment import more_audio_augment
+            a = arrays["audio"]
+            b, s = a.shape[:2]
+            mel = more_audio_augment(a.reshape(b * s, -1), ka)
+            mel = mel.reshape(b, s, *mel.shape[1:])
+        else:
+            mel = log_mel(arrays["audio"], batch_dims=2)  # (B,S,64,T)
         spec = mel[..., None]  # (B,S,64,T,1) channels-last
     return spec, clips
 
 
-def make_train_step(model, tx) -> Callable:
+def make_train_step(model, tx, more_vision_augm: bool = False,
+                    more_audio_augm: bool = False) -> Callable:
     """Returns jitted train_step(state, arrays, key) ->
     (state, loss, vouts, aouts)."""
 
@@ -69,7 +88,9 @@ def make_train_step(model, tx) -> Callable:
     def train_step(state: TrainState, arrays: Dict[str, Any],
                    key: jax.Array):
         pre_key, drop_key = jax.random.split(key)
-        spec, clips = _preprocess(model, arrays, pre_key, augment=True)
+        spec, clips = _preprocess(model, arrays, pre_key, augment=True,
+                                  more_vision_augm=more_vision_augm,
+                                  more_audio_augm=more_audio_augm)
         wavlm = arrays.get("wavlm")
 
         def loss_fn(trainable):

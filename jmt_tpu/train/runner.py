@@ -33,6 +33,7 @@ from jmt_tpu.ops.ccc import ccc_metric
 from jmt_tpu.train import optim as O
 from jmt_tpu.train.loops import (make_train_step, make_eval_step, init_state,
                                  device_batch, batches_from_dataset)
+from jmt_tpu.data.loader import PrefetchLoader
 from jmt_tpu.train.state import TrainState
 from jmt_tpu.eval.stitch import Stitcher, write_challenge_txt
 from jmt_tpu.parallel.mesh import pad_batch_to
@@ -68,7 +69,10 @@ class Runner:
                         if cfg.model_params.opt.name_lr_scheduler
                         == "reduce_on_plateau"
                         and cfg.model_params.opt.lr_scheduler else None)
-        self.train_step = make_train_step(self.model, self.tx)
+        self.train_step = make_train_step(
+            self.model, self.tx,
+            more_vision_augm=cfg.train_params.use_more_vision_data_augm,
+            more_audio_augm=cfg.train_params.use_more_audio_data_augm)
         self.eval_step = make_eval_step(self.model)
         self.state: Optional[TrainState] = None
         self.tracker: Dict[str, list] = {"train_v": [], "train_a": [],
@@ -109,10 +113,12 @@ class Runner:
         bsz = cfg.train_params.loader_params.batch_size
         vout, vtar, aout, atar = [], [], [], []
         epoch_loss, n = 0.0, 0
-        for batch in batches_from_dataset(
-                self.train_ds, bsz,
-                shuffle=cfg.train_params.loader_params.shuffle, rng=rng,
-                drop_last=False, wavlm_store=self.wavlm_store):
+        loader = PrefetchLoader(
+            self.train_ds, bsz,
+            shuffle=cfg.train_params.loader_params.shuffle, rng=rng,
+            drop_last=False, wavlm_store=self.wavlm_store,
+            prefetch=cfg.train_params.loader_params.prefetch)
+        for batch in loader:
             arrays = device_batch(batch)
             arrays, n_real = pad_batch_to(arrays, bsz)
             key, sub = jax.random.split(key)
@@ -143,8 +149,9 @@ class Runner:
         dataset = dataset if dataset is not None else self.val_ds
         bsz = self.cfg.val_params.loader_params.batch_size
         stitcher = Stitcher(with_labels=True)
-        for batch in batches_from_dataset(dataset, bsz, shuffle=False,
-                                          wavlm_store=self.wavlm_store):
+        for batch in PrefetchLoader(
+                dataset, bsz, shuffle=False, wavlm_store=self.wavlm_store,
+                prefetch=self.cfg.val_params.loader_params.prefetch):
             arrays = device_batch(batch)
             arrays, n_real = pad_batch_to(arrays, bsz)
             vouts, aouts = self.eval_step(self.state, arrays)
@@ -162,8 +169,10 @@ class Runner:
         assert self.test_ds is not None
         bsz = self.cfg.test_params.loader_params.batch_size
         stitcher = Stitcher(with_labels=False)
-        for batch in batches_from_dataset(self.test_ds, bsz, shuffle=False,
-                                          wavlm_store=self.wavlm_store):
+        for batch in PrefetchLoader(
+                self.test_ds, bsz, shuffle=False,
+                wavlm_store=self.wavlm_store,
+                prefetch=self.cfg.test_params.loader_params.prefetch):
             arrays = device_batch(batch)
             arrays, n_real = pad_batch_to(arrays, bsz)
             vouts, aouts = self.eval_step(self.state, arrays)
