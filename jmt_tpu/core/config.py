@@ -215,9 +215,13 @@ class Config:
     # TPU additions -----------------------------------------------------
     # device mesh spec: number of data-parallel shards; -1 = all devices.
     mesh_data_parallel: int = -1
-    # static spectrogram width buckets (replaces dynamic per-batch padding,
-    # reference padSequence.py:8-21).
-    spec_width_buckets: List[int] = field(default_factory=lambda: [104])
+    # observability: write a jax.profiler trace of a few train steps of
+    # `profile_epoch` into profile_dir (the reference has no tracing at all,
+    # SURVEY.md §5.1 — only coarse epoch wall-clocks)
+    profile_dir: str = ""
+    profile_epoch: int = 0
+    # log step timing every N train steps (0 = off)
+    log_every_steps: int = 50
 
     def __post_init__(self):
         for name in ("train_params", "val_params", "test_params"):

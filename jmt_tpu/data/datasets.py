@@ -73,11 +73,17 @@ def load_video_records(labeldir: str, wavs_root: str, timestamps_dir: str,
     for csv_name in csvs:
         df = pd.read_csv(os.path.join(labeldir, csv_name))
         stem = os.path.splitext(csv_name)[0]
+        n_rows = len(df)
+        # challenge test split has no V/A labels; fill with the ignore value
+        lv = (df["V"].to_numpy(np.float32) if "V" in df
+              else np.full(n_rows, -5.0, np.float32))
+        la = (df["A"].to_numpy(np.float32) if "A" in df
+              else np.full(n_rows, -5.0, np.float32))
         rec = VideoRecord(
             name=stem,
             image_paths=list(df["img"]),
-            labels_v=df["V"].to_numpy(np.float32),
-            labels_a=df["A"].to_numpy(np.float32),
+            labels_v=lv,
+            labels_a=la,
             frame_ids=df["frame_id"].to_numpy(np.int64),
             length=0, wav_dir="")
         ts = os.path.join(timestamps_dir, rec.vidname + "_video_ts.txt")

@@ -51,6 +51,9 @@ def _preprocess(model, arrays: Dict[str, Any], key: Optional[jax.Array],
     """
     clips = None
     spec = None
+    # backbones cast to the compute dtype anyway; emitting bf16 from the
+    # preprocessing halves HBM traffic into the conv stacks
+    out_dtype = model.dtype or jnp.float32
     if key is not None:
         kv, ka, kc = jax.random.split(key, 3)
     if len(model.vision_backbones) > 0:
@@ -65,7 +68,7 @@ def _preprocess(model, arrays: Dict[str, Any], key: Optional[jax.Array],
             flat = preprocess_clips(flat, bf, cf, augment=True)
         else:
             flat = preprocess_clips(flat)
-        clips = flat.reshape(b, s, *flat.shape[1:])
+        clips = flat.astype(out_dtype).reshape(b, s, *flat.shape[1:])
     if "ResNet18" in model.audio_backbones:
         if augment and more_audio_augm:
             from jmt_tpu.ops.audio_augment import more_audio_augment
@@ -75,7 +78,7 @@ def _preprocess(model, arrays: Dict[str, Any], key: Optional[jax.Array],
             mel = mel.reshape(b, s, *mel.shape[1:])
         else:
             mel = log_mel(arrays["audio"], batch_dims=2)  # (B,S,64,T)
-        spec = mel[..., None]  # (B,S,64,T,1) channels-last
+        spec = mel.astype(out_dtype)[..., None]  # (B,S,64,T,1)
     return spec, clips
 
 

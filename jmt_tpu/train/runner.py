@@ -118,14 +118,28 @@ class Runner:
             shuffle=cfg.train_params.loader_params.shuffle, rng=rng,
             drop_last=False, wavlm_store=self.wavlm_store,
             prefetch=cfg.train_params.loader_params.prefetch)
+        profiling = bool(cfg.profile_dir) and epoch == cfg.profile_epoch
+        t_step = datetime.datetime.now()
         for batch in loader:
             arrays = device_batch(batch)
             arrays, n_real = pad_batch_to(arrays, bsz)
             key, sub = jax.random.split(key)
+            if profiling and n == 2:  # trace steps 2-4 (post-compile)
+                jax.profiler.start_trace(cfg.profile_dir)
             self.state, loss, vouts, aouts = self.train_step(
                 self.state, arrays, sub)
             epoch_loss += float(loss)
+            if profiling and n == 4:
+                jax.profiler.stop_trace()
+                profiling = False
             n += 1
+            if cfg.log_every_steps and n % cfg.log_every_steps == 0:
+                now = datetime.datetime.now()
+                self.log.metrics(
+                    step=f"e{epoch}s{n}", loss=float(loss),
+                    step_seconds=(now - t_step).total_seconds()
+                    / cfg.log_every_steps, lr=lr)
+                t_step = now
             vouts = np.asarray(vouts).reshape(-1)
             aouts = np.asarray(aouts).reshape(-1)
             lv = arrays["labels_v"].reshape(-1)
@@ -189,6 +203,21 @@ class Runner:
         ckpt.export_components(self.exp.weights_dir, params,
                                self.state.batch_stats)
         ckpt.save_train_state(self.exp.weights_dir, self.state)
+
+    def resume(self) -> bool:
+        """Restore the full train state from the experiment dir if present
+        (true resume — the reference saves weights only and never reloads
+        them in Training mode, SURVEY.md §5.4). Returns True if resumed."""
+        if self.state is None:
+            self.initialize()
+        path = os.path.join(self.exp.weights_dir, ckpt.STATE_FILE)
+        if not os.path.isfile(path):
+            return False
+        self.state = ckpt.restore_train_state(self.exp.weights_dir,
+                                              self.state)
+        self.cfg.model_params.start_epoch = self.state.epoch
+        self.log.log(f"resumed from {path} at epoch {self.state.epoch}")
+        return True
 
     def fit(self) -> Dict[str, float]:
         if self.exp.already_done():
