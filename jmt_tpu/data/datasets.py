@@ -212,6 +212,21 @@ class WindowedDataset:
                     clips[ci, fi, :, :, :3] = img[:sz, :sz]
             for ci in audio_slots:
                 audio[ci] = _fit_audio(self.audio_loader(wav_paths[ci]))
+        if self.split == "test":
+            # test-split quirk: a near-empty wav (<=100 samples) reuses the
+            # previous clip's audio (dataset_test.py:360-368). Cheap gate on
+            # file size (<=100 samples cannot exceed ~1KB in any PCM layout)
+            # so the common case costs one stat, not a re-decode.
+            for k, ci in enumerate(audio_slots):
+                p = wav_paths[ci]
+                try:
+                    tiny = os.path.getsize(p) < 1024
+                except OSError:
+                    tiny = False
+                if tiny and k > 0:
+                    raw = self.audio_loader(p)
+                    if raw is not None and 0 < len(raw) <= 100:
+                        audio[ci] = audio[audio_slots[k - 1]]
         return Sample(clips=clips, audio=audio, labels_v=labels_v,
                       labels_a=labels_a, anchors=anchors, video=rec.name,
                       length=rec.length, wav_paths=wav_paths)

@@ -27,7 +27,10 @@ class PrefetchLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  rng: Optional[np.random.Generator] = None,
                  drop_last: bool = False, wavlm_store=None,
-                 prefetch: int = 2):
+                 prefetch: int = 2, host_shard=None):
+        """host_shard: (process_index, process_count) for multi-host
+        training — each host loads a disjoint stride of the (identically
+        shuffled) sample order. Pass jmt_tpu.parallel.mesh.host_shard()."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -35,17 +38,30 @@ class PrefetchLoader:
         self.drop_last = drop_last
         self.wavlm_store = wavlm_store
         self.prefetch = max(1, prefetch)
+        self.host_shard = host_shard
+
+    def _order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            # all hosts must shuffle identically (same per-epoch rng seed)
+            # so the host_shard strides are disjoint and exhaustive
+            (self.rng or np.random.default_rng()).shuffle(order)
+        if self.host_shard is not None:
+            idx, count = self.host_shard
+            order = order[idx::count]
+        return order
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.host_shard is not None:
+            idx, count = self.host_shard
+            n = (n - idx + count - 1) // count
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self):
-        order = np.arange(len(self.dataset))
-        if self.shuffle:
-            (self.rng or np.random.default_rng()).shuffle(order)
+        order = self._order()
         for i in range(0, len(order), self.batch_size):
             idx = order[i:i + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:

@@ -41,6 +41,7 @@ class JMTModel(nn.Module):
     r2d1_reduce: str = "MAX"
     goal: str = "TRAINING"
     finetune: Sequence[str] = ()  # backbones NOT frozen (main.py:412-466)
+    remat: bool = False           # rematerialize backbones in backward
     fc_transpose_quirk: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -49,7 +50,8 @@ class JMTModel(nn.Module):
             vision_backbones=tuple(self.vision_backbones),
             audio_backbones=tuple(self.audio_backbones),
             r2d1_arch=self.r2d1_arch, r2d1_reduce=self.r2d1_reduce,
-            finetune=tuple(self.finetune), dtype=self.dtype)
+            finetune=tuple(self.finetune), remat=self.remat,
+            dtype=self.dtype)
 
         # intra-modal (vision) — main.py:373-402
         self.fc_layer_for_video_concat = None
@@ -168,4 +170,5 @@ def model_from_config(cfg) -> JMTModel:
         num_heads=mp.num_heads, num_layers=mp.num_layers,
         v_dropout=mp.v_dropout, a_dropout=mp.a_dropout,
         r2d1_reduce=mp.R2D1_ft_dim_reduce,
-        goal=cfg.goal, finetune=tuple(finetune), dtype=dtype)
+        goal=cfg.goal, finetune=tuple(finetune),
+        remat=mp.remat_backbones, dtype=dtype)

@@ -46,19 +46,30 @@ class TwoStreamBackbones(nn.Module):
     # backbones being finetuned: their BN uses batch stats when train=True
     # (the reference's model.eval() + selective .train(True), train.py:27-42)
     finetune: Sequence[str] = ()
+    # rematerialize backbone activations in the backward pass
+    # (jax.checkpoint): trades ~1 extra forward for O(depth) less HBM —
+    # enables full-finetune at batch sizes the activations wouldn't fit
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         assert self.r2d1_reduce in ("MAX", "AVG", "FLATTEN"), self.r2d1_reduce
+        VR, I3, RN = VideoResNet, I3DTCN, ResNet18
+        if self.remat:
+            # static_argnums count the module itself as arg 0; the boolean
+            # mode flags must be STATIC and passed POSITIONALLY at the call
+            # sites below
+            VR = nn.remat(VideoResNet, static_argnums=(2, 3))
+            I3 = nn.remat(I3DTCN, static_argnums=(2, 3))
+            RN = nn.remat(ResNet18, static_argnums=(2,))
         if "R2D1" in self.vision_backbones:
-            self.vision_r2d1 = VideoResNet(arch=self.r2d1_arch,
-                                           dtype=self.dtype)
+            self.vision_r2d1 = VR(arch=self.r2d1_arch, dtype=self.dtype)
             if self.r2d1_reduce == "FLATTEN":
                 self.vision_r2d1_fc = Linear(512, dtype=self.dtype)
         if "I3D" in self.vision_backbones:
-            self.vision_i3d = I3DTCN(dtype=self.dtype)
+            self.vision_i3d = I3(dtype=self.dtype)
         if "ResNet18" in self.audio_backbones:
-            self.audio_resnet18 = ResNet18(in_channels=1, dtype=self.dtype)
+            self.audio_resnet18 = RN(in_channels=1, dtype=self.dtype)
 
     def __call__(self, audio_spec: Optional[jnp.ndarray],
                  clips: Optional[jnp.ndarray],
@@ -87,7 +98,8 @@ class TwoStreamBackbones(nn.Module):
             b, s = clips.shape[:2]
             flat = clips.reshape(b * s, *clips.shape[2:])
             fmap = self.vision_r2d1(flat, ura("R2D1"),
-                                    features_only=True)  # (N, T', H', W', 512)
+                                    True)  # features_only; positional so
+            # nn.remat's static_argnums can see it  # (N, T', H', W', 512)
             n = fmap.shape[0]
             if self.r2d1_reduce == "MAX":
                 f = jnp.max(fmap.reshape(n, -1, 512), axis=1)

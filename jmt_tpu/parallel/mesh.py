@@ -49,6 +49,12 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def host_shard():
+    """(process_index, process_count) for multi-host data loading — pass to
+    PrefetchLoader(host_shard=...). On a single host this is (0, 1)."""
+    return jax.process_index(), jax.process_count()
+
+
 def pad_batch_to(tree, batch: int):
     """Pad the leading axis to `batch` (static per-device batch without
     drop_last — the reference instead drops the last batch, main.py:655).

@@ -206,3 +206,22 @@ def test_ccc_loss_digitized_matches_torch_formula():
     got = float(ccc_loss_digitized(jnp.asarray(logits), jnp.asarray(target),
                                    num_bins=k))
     assert got == pytest.approx(want, abs=1e-5)
+
+
+def test_prefetch_loader_host_sharding():
+    from jmt_tpu.data.loader import PrefetchLoader
+    from jmt_tpu.data.synthetic import synthetic_dataset
+    ds = synthetic_dataset("val", n_videos=1, length=481, img_size=48)
+    # two hosts with identical shuffle seeds cover the dataset disjointly
+    all_vids = []
+    for idx in (0, 1):
+        rng = np.random.default_rng(7)
+        loader = PrefetchLoader(ds, 4, shuffle=True, rng=rng,
+                                host_shard=(idx, 2))
+        got = [tuple(b.anchors[i]) for b in loader
+               for i in range(len(b.videos))]
+        all_vids.extend(got)
+        assert len(loader) == 4  # 32 windows / 2 hosts / batches of 4
+        assert len(got) == 16    # 16 samples per host
+    assert len(all_vids) == 32
+    assert len(set(all_vids)) == 32  # disjoint and exhaustive
