@@ -67,8 +67,18 @@ _GLOBAL: Optional[JsonLinesLogger] = None
 def init_logger(outdir: Optional[str] = None, stdout: bool = True,
                 ) -> JsonLinesLogger:
     """Initialize the global logger, writing log.json/log.txt under outdir
-    (mirrors reference parseit.py:587-597)."""
+    (mirrors reference parseit.py:587-597). On multi-host runs only process
+    0 writes (the reference's master-pid gating, dllogger/logger.py:61-63,
+    generalized to hosts)."""
     global _GLOBAL
+    try:
+        import jax
+        is_master = jax.process_index() == 0
+    except Exception:
+        is_master = True
+    if not is_master:
+        _GLOBAL = JsonLinesLogger(stdout=False)
+        return _GLOBAL
     if outdir is not None:
         os.makedirs(outdir, exist_ok=True)
         _GLOBAL = JsonLinesLogger(os.path.join(outdir, "log.json"),
