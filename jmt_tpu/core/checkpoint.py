@@ -23,7 +23,6 @@ from typing import Any, Dict, Optional
 import jax
 import numpy as np
 from flax import serialization
-from flax import traverse_util
 
 STATE_FILE = "train_state.msgpack"
 

@@ -15,7 +15,7 @@ Capability targets (SURVEY.md §2.2):
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

@@ -8,12 +8,11 @@ the path string, so samples are reproducible across processes.
 from __future__ import annotations
 
 import hashlib
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
-from jmt_tpu.data.datasets import (VideoRecord, WindowedDataset, IMG_SIZE,
-                                   FrameLoader, AudioLoader)
+from jmt_tpu.data.datasets import VideoRecord, WindowedDataset, IMG_SIZE
 from jmt_tpu.ops.mel import SAMPLE_RATE
 
 

@@ -25,7 +25,7 @@ import flax.linen as nn
 
 from jmt_tpu.ops.conv import conv_nd, max_pool, avg_pool, tf_same_pads
 from jmt_tpu.ops.norm import TorchBatchNorm
-from jmt_tpu.ops.initializers import torch_linear_kernel, torch_linear_bias
+from jmt_tpu.ops.initializers import torch_linear_bias
 from jmt_tpu.models.tcn import TemporalConvNet
 
 

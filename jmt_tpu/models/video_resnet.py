@@ -215,7 +215,6 @@ class VideoResNet(nn.Module):
         if features_only:
             return h
         pooled = jnp.mean(h, axis=(1, 2, 3))  # adaptive avg pool to 1x1x1
-        from jmt_tpu.models.common import Linear
         # torchvision head init: normal(0, 0.01) kernel, zero bias
         # (video_resnet.py:281-283)
         logits = nn.Dense(self.num_classes,

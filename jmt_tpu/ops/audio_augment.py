@@ -21,14 +21,12 @@ identity), so one compiled program covers stretched and unstretched clips.
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from jmt_tpu.ops.mel import (HOP_LENGTH, N_FFT, N_MELS, SPEC_FRAMES,
+from jmt_tpu.ops.mel import (HOP_LENGTH, N_FFT, N_MELS,
                              mel_filterbank, _padded_hann, _frame)
 
 N_FREQS = N_FFT // 2 + 1

@@ -24,8 +24,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from jmt_tpu.ops.mel import (AUDIO_SAMPLES, HOP_LENGTH, N_FFT, N_MELS,
-                             SPEC_FRAMES, SPEC_MEAN, SPEC_STD,
+from jmt_tpu.ops.mel import (HOP_LENGTH, N_FFT, N_MELS, SPEC_FRAMES,
+                             SPEC_MEAN, SPEC_STD,
                              mel_filterbank, _padded_hann, _frame)
 
 N_FREQS = N_FFT // 2 + 1

@@ -12,7 +12,7 @@ the gradient all-reduce.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 
@@ -24,7 +24,6 @@ from jmt_tpu.ops.ccc import ccc_loss
 from jmt_tpu.ops.mel import log_mel
 from jmt_tpu.data.transforms import preprocess_clips, sample_color_factors
 from jmt_tpu.train.state import TrainState, merge_params
-from jmt_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
 
 def device_batch(batch) -> Dict[str, Any]:

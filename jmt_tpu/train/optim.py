@@ -17,7 +17,7 @@ torch Adam parity: L2 weight decay is added to the gradient (not decoupled).
 from __future__ import annotations
 
 import math
-from typing import Callable, NamedTuple, Optional, Sequence
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from jmt_tpu.core.config import Config, ExperimentDir
-from jmt_tpu.core.logging import init_logger, get_logger
+from jmt_tpu.core.logging import get_logger
 from jmt_tpu.core.rng import set_global_seed
 from jmt_tpu.core import checkpoint as ckpt
 from jmt_tpu.models.jmt_model import model_from_config

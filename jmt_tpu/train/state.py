@@ -13,8 +13,6 @@ import dataclasses
 from typing import Any, Dict, List, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
-import optax
 from flax import traverse_util
 from flax.core import freeze, unfreeze
 
