@@ -51,6 +51,19 @@ def parse_args(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="Training mode: restore the full train state from "
                         "the experiment dir and continue")
+    p.add_argument("--eval-weights", default="auto",
+                   choices=["auto", "components", "state"],
+                   help="Eval mode: 'components' assembles the model from "
+                        "per-component SavedWeights files (ours .msgpack or "
+                        "reference .pt — main.py:508-609 parity, the BEST "
+                        "epoch); 'state' restores the monolithic "
+                        "train_state.msgpack (the FINAL state); 'auto' "
+                        "prefers components when present")
+    p.add_argument("--weights-dir", default=None,
+                   help="Eval mode: directory holding the weight files "
+                        "(defaults to <exp-dir>/SavedWeights; point it at a "
+                        "reference SavedWeights dir to evaluate a "
+                        "reference-trained model)")
     return p.parse_args(argv)
 
 
@@ -78,8 +91,10 @@ def build_config(args) -> Config:
 def make_datasets(cfg: Config, synthetic: str = None):
     if synthetic:
         from jmt_tpu.data.synthetic import synthetic_dataset
-        parts = (synthetic.split(":") + ["481", "112"])[:3]
-        n, length, img = int(parts[0]), int(parts[1]), int(parts[2])
+        parts = synthetic.split(":")
+        n = int(parts[0])
+        length = int(parts[1]) if len(parts) > 1 else 481
+        img = int(parts[2]) if len(parts) > 2 else 112
         train = synthetic_dataset("train", n_videos=n, length=length,
                                   stride=cfg.train_params.stride,
                                   img_size=img)
@@ -89,6 +104,8 @@ def make_datasets(cfg: Config, synthetic: str = None):
     from jmt_tpu.data.datasets import (load_video_records, WindowedDataset,
                                        WavlmFeatureStore)
     from jmt_tpu.data.windowing import TRAIN_SKIP_VIDS
+    # 5-fold split convention (parseit.py:480-514) — fills empty labelpaths
+    cfg.auto_set_label_paths()
     train_recs = load_video_records(
         cfg.train_params.labelpath, cfg.dataset_wavspath,
         cfg.dataset_realtimestamps, skip=TRAIN_SKIP_VIDS,
@@ -99,9 +116,11 @@ def make_datasets(cfg: Config, synthetic: str = None):
         take_n_videos=cfg.val_params.take_n_videos)
     train = WindowedDataset(train_recs, "train",
                             stride=cfg.train_params.stride,
-                            win_length=cfg.train_params.seq_length)
+                            win_length=cfg.train_params.seq_length,
+                            audio_samples=cfg.audio_samples)
     val = WindowedDataset(val_recs, "val", stride=cfg.val_params.stride,
-                          win_length=cfg.val_params.seq_length)
+                          win_length=cfg.val_params.seq_length,
+                          audio_samples=cfg.audio_samples)
     test = None
     if cfg.test_params.labelpath and os.path.isdir(cfg.test_params.labelpath):
         test_recs = load_video_records(
@@ -110,7 +129,8 @@ def make_datasets(cfg: Config, synthetic: str = None):
         test = WindowedDataset(test_recs, "test",
                                stride=cfg.test_params.stride,
                                win_length=cfg.test_params.seq_length,
-                               check_coverage=False)
+                               check_coverage=False,
+                               audio_samples=cfg.audio_samples)
     store = (WavlmFeatureStore(cfg.wavlm_features)
              if "wavLM" in cfg.model_params.l_audio_backbones else None)
     return train, val, test, store
@@ -133,10 +153,23 @@ def main(argv=None) -> int:
         perfs = runner.fit()
         print(json.dumps({"best": perfs.get("best", {})}, default=float))
         return 0
-    # Eval mode: reload saved state, re-validate or run challenge test
+    # Eval mode: reload saved weights, re-validate or run challenge test.
+    # 'components' = per-component best-epoch files (reference semantics,
+    # main.py:508-609); 'state' = monolithic final train state.
     runner.initialize()
     from jmt_tpu.core import checkpoint as ckpt
-    runner.state = ckpt.restore_train_state(exp.weights_dir, runner.state)
+    import glob
+    wdir = args.weights_dir or exp.weights_dir
+    # train_state.msgpack is the full-state file, not a component
+    has_components = any(
+        not p.endswith(ckpt.STATE_FILE)
+        for p in glob.glob(os.path.join(wdir, "*.msgpack"))
+        + glob.glob(os.path.join(wdir, "*.pt")))
+    if args.eval_weights == "components" or (
+            args.eval_weights == "auto" and has_components):
+        runner.load_components(wdir)
+    else:
+        runner.state = ckpt.restore_train_state(wdir, runner.state)
     if args.eval_split == "test":
         out_dir = os.path.join(exp.path, "test_predictions")
         runner.test(out_dir, store_pkl=os.path.join(

@@ -125,6 +125,102 @@ def load_component(path: str) -> Dict[str, Any]:
         return serialization.msgpack_restore(f.read())
 
 
+def assemble_from_components(directory: str, cfg, params: Dict[str, Any],
+                             batch_stats: Dict[str, Any]
+                             ) -> Dict[str, str]:
+    """Rebuild model variables FROM per-component files — completing the
+    reference's Eval-mode loading (main.py:508-609, which reloads every
+    component from SavedWeights/*.pt).
+
+    Accepts BOTH layouts per component, ours first:
+      * ``{name}.msgpack`` — this framework's export_components output;
+      * ``{name}.pt``      — a reference SavedWeights export (torch, with
+        ``module.`` DataParallel prefixes tolerated), converted via
+        models.torch_io.
+
+    Grafts in place into `params`/`batch_stats` (shape-checked) and returns
+    {component: file}. Raises if NO component file is found."""
+    from jmt_tpu.models.pretrained import graft_subtree
+
+    loaded: Dict[str, str] = {}
+    errors: list = []
+    for name, path in _COMPONENTS.items():
+        if _subtree(params, path) is None:
+            continue  # component not in this config's model
+        msg = os.path.join(directory, f"{name}.msgpack")
+        pt = os.path.join(directory, f"{name}.pt")
+        if os.path.isfile(msg):
+            piece = load_component(msg)
+        elif os.path.isfile(pt):
+            piece = _torch_component(pt, name, cfg)
+        else:
+            continue
+        # NB: individual backbone entries iterate AFTER all_backbones, so a
+        # hand-assembled per-backbone file overrides the aggregate export.
+        graft_subtree(params, piece["params"], tuple(path), errors, name)
+        if piece.get("batch_stats"):
+            bs = _subtree(batch_stats, path)
+            if bs is not None:
+                graft_subtree(batch_stats, piece["batch_stats"], tuple(path),
+                              errors, f"{name} batch_stats")
+        loaded[name] = msg if os.path.isfile(msg) else pt
+    if errors:
+        raise ValueError("component assembly failed:\n  "
+                         + "\n  ".join(str(e) for e in errors))
+    if not loaded:
+        raise FileNotFoundError(
+            f"no component files (*.msgpack/*.pt) found in {directory}")
+    return loaded
+
+
+def _torch_component(pt_path: str, name: str, cfg) -> Dict[str, Any]:
+    """Convert one reference SavedWeights/{name}.pt to flax variables."""
+    mp = cfg.model_params
+    if name == "fusion_w":
+        p = import_reference_torch_checkpoint(
+            pt_path, "fusion", num_layers=mp.num_layers,
+            joint_modalities=mp.joint_modalities,
+            output_format=mp.output_format)
+        return {"params": p}
+    if name == "backbone_pretrainer_w":
+        return {"params": import_reference_torch_checkpoint(pt_path,
+                                                            "pretrainer")}
+    if name == "all_backbones":
+        return import_reference_torch_checkpoint(pt_path, "tsav")
+    if name == "audio_resnet18":
+        import torch
+        from jmt_tpu.models import torch_io as tio
+        sd = tio.strip_module_prefix(torch.load(pt_path,
+                                                map_location="cpu"))
+        sd = {k[len("resnet."):] if k.startswith("resnet.") else k: v
+              for k, v in sd.items()}
+        return tio.resnet18_vars(sd)
+    if name == "vision_r2d1":
+        import torch
+        from jmt_tpu.models import torch_io as tio
+        sd = tio.strip_module_prefix(torch.load(pt_path,
+                                                map_location="cpu"))
+        sd = {k[len("r2plus1d."):] if k.startswith("r2plus1d.") else k: v
+              for k, v in sd.items()}
+        return tio.video_resnet_vars(sd, arch="r2plus1d")
+    if name == "vision_r2d1_fc":
+        from jmt_tpu.models import torch_io as tio
+        import torch
+        sd = tio.strip_module_prefix(torch.load(pt_path,
+                                                map_location="cpu"))
+        return {"params": tio.r2d1_flatten_fc_params(sd)}
+    if name == "vision_i3d":
+        return import_reference_torch_checkpoint(pt_path, "i3d_tcn")
+    if name in ("fc_layer_for_audio_concat", "fc_layer_for_video_concat"):
+        return {"params": import_reference_torch_checkpoint(pt_path,
+                                                            "fc_layer")}
+    if name in ("transformer_audio_modality_fusion",
+                "transformer_visio_modality_fusion"):
+        return {"params": import_reference_torch_checkpoint(
+            pt_path, "intra_modal_transformer", num_layers=mp.num_layers)}
+    raise KeyError(name)
+
+
 def import_reference_torch_checkpoint(pt_path: str, kind: str,
                                       **kwargs) -> Dict[str, Any]:
     """Load a reference SavedWeights/*.pt into flax trees via
@@ -144,5 +240,6 @@ def import_reference_torch_checkpoint(pt_path: str, kind: str,
         "resnet18": tio.resnet18_vars,
         "video_resnet": tio.video_resnet_vars,
         "i3d_tcn": tio.i3d_tcn_vars,
+        "tsav": tio.tsav_vars,
     }
     return converters[kind](sd, **kwargs)

@@ -43,6 +43,7 @@ R2D1_REDUCES = ("MAX", "AVG", "FLATTEN")
 INITS_R2D1 = ("RANDOM", "KINETICS400", "AFFWILD2", "OUR_AFFWILD2")
 INITS_RESNET18 = ("RANDOM", "IMAGENET", "AFFWILD2", "OUR_AFFWILD2")
 INITS_I3D = ("RANDOM", "KINETICS400", "AFFWILD2", "OUR_AFFWILD2")
+SPLITS = ("DEFAULT", "ROUND1", "ROUND2", "ROUND3", "ROUND4", "ROUND5")
 OPTIMIZERS = ("sgd", "adam")
 SCHEDULERS = ("step", "cosine", "mystep", "mycosine", "multistep",
               "reduce_on_plateau")
@@ -203,6 +204,20 @@ class Config:
     dataset_wavspath: str = ""
     dataset_realtimestamps: str = ""
     wavlm_features: str = ""
+    # root of the pretrained backbone checkpoints (the reference hardcodes
+    # ``<repo>/PretrainedWeights/`` — main.py:218-302); consumed by
+    # models.pretrained per the init_w_* policy
+    pretrained_weights_dir: str = ""
+    # annotation roots for the split->labelpath convention
+    # (auto_set_label_paths; the reference hardcodes both cluster paths,
+    # parseit.py:487-498)
+    dataset_annotations: str = ""
+    dataset_annotations_5folds: str = ""
+    # static per-wav sample bucket (the reference pads to 45,599 and keeps
+    # longer wavs whole with dynamic batch padding, dataset_new.py:305-308 /
+    # padSequence.py:8-21; raise this to keep low-fps chunks whole — see
+    # PARITY.md 'Long-wav truncation')
+    audio_samples: int = 45599
     train_params: SplitParams = field(default_factory=SplitParams)
     val_params: SplitParams = field(default_factory=SplitParams)
     test_params: SplitParams = field(default_factory=SplitParams)
@@ -235,7 +250,37 @@ class Config:
             self.dump_best_model_every_time)
         assert self.Mode in MODES, self.Mode
         assert self.goal in GOALS, self.goal
+        assert self.split in SPLITS, self.split
         self.validate_lattice()
+
+    def auto_set_label_paths(self, must_exist: bool = True) -> None:
+        """The reference's 5-fold split convention
+        (auto_set_tr_vl_tst_paths, parseit.py:480-514): resolve
+        {train,val,test}_params.labelpath from ``split`` against the
+        first-class annotation roots —
+
+        * DEFAULT  -> ``dataset_annotations``
+        * ROUND<k> -> ``dataset_annotations_5folds``/fold<k>
+
+        each then suffixed Train_Set / Val_Set / Test_Set. Only fills
+        labelpaths that are empty (explicit paths win)."""
+        fold_ids = {f"ROUND{i}": f"fold{i}" for i in range(1, 6)}
+        if self.split == "DEFAULT":
+            base = self.dataset_annotations
+        else:
+            assert self.dataset_annotations_5folds, (
+                f"split={self.split} requires dataset_annotations_5folds")
+            base = os.path.join(self.dataset_annotations_5folds,
+                                fold_ids[self.split])
+        if not base:
+            return
+        for params, sub in ((self.train_params, "Train_Set"),
+                            (self.val_params, "Val_Set"),
+                            (self.test_params, "Test_Set")):
+            if not params.labelpath:
+                params.labelpath = os.path.join(base, sub)
+                if must_exist:
+                    assert os.path.isdir(params.labelpath), params.labelpath
 
     # -- the reference's config-combination validation (parseit.py:364-471)
     def validate_lattice(self) -> None:

@@ -102,15 +102,19 @@ def default_frame_loader(path: str) -> Optional[np.ndarray]:
         return None  # black frame fallback (dataset_new.py:262-266)
 
 
-def _fit_audio(wav: Optional[np.ndarray]) -> np.ndarray:
-    """Left-zero-pad to 45,599 samples; longer clips keep their TAIL (the
+def _fit_audio(wav: Optional[np.ndarray],
+               length: int = AUDIO_SAMPLES) -> np.ndarray:
+    """Left-zero-pad to `length` samples; longer clips keep their TAIL (the
     left-aligned convention; the reference instead keeps long wavs whole and
-    pads the batch dynamically, padSequence.py:8-21 — static shapes here)."""
-    out = np.zeros(AUDIO_SAMPLES, np.float32)
+    pads the batch dynamically, padSequence.py:8-21 — static shapes here).
+
+    Quantified divergence + the wider-bucket escape hatch
+    (cfg.audio_samples): see PARITY.md 'Long-wav truncation'."""
+    out = np.zeros(length, np.float32)
     if wav is None or len(wav) == 0:
         return out
-    if len(wav) >= AUDIO_SAMPLES:
-        return wav[-AUDIO_SAMPLES:].astype(np.float32)
+    if len(wav) >= length:
+        return wav[-length:].astype(np.float32)
     out[-len(wav):] = wav
     return out
 
@@ -136,10 +140,13 @@ class WindowedDataset:
                  frame_loader: FrameLoader = default_frame_loader,
                  audio_loader: AudioLoader = load_wav,
                  check_coverage: bool = True, img_size: int = IMG_SIZE,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None,
+                 audio_samples: int = AUDIO_SAMPLES):
         assert split in ("train", "val", "test"), split
         self.split = split
         self.img_size = img_size
+        # static per-wav bucket; >45599 keeps long wavs whole (PARITY.md)
+        self.audio_samples = int(audio_samples)
         # native batched decode only makes sense with the default file
         # loaders (synthetic/test loaders stay pluggable)
         if use_native is None:
@@ -174,7 +181,7 @@ class WindowedDataset:
         n = W.SUBSEQS_PER_WINDOW
         sz = self.img_size
         clips = np.zeros((n, W.CLIP_LEN, sz, sz, 3), np.uint8)
-        audio = np.zeros((n, AUDIO_SAMPLES), np.float32)
+        audio = np.zeros((n, self.audio_samples), np.float32)
         labels_v = np.full((n,), -5.0, np.float32)
         labels_a = np.full((n,), -5.0, np.float32)
         anchors = np.zeros((n,), np.int64)
@@ -200,7 +207,7 @@ class WindowedDataset:
             imgs = _native.decode_jpeg_batch(
                 [p for _, _, p in frame_slots], sz, sz)
             wavs = _native.decode_wav_batch(
-                [wav_paths[ci] for ci in audio_slots], AUDIO_SAMPLES)
+                [wav_paths[ci] for ci in audio_slots], self.audio_samples)
             for k, (ci, fi, _) in enumerate(frame_slots):
                 clips[ci, fi] = imgs[k]
             for k, ci in enumerate(audio_slots):
@@ -211,7 +218,8 @@ class WindowedDataset:
                 if img is not None:
                     clips[ci, fi, :, :, :3] = img[:sz, :sz]
             for ci in audio_slots:
-                audio[ci] = _fit_audio(self.audio_loader(wav_paths[ci]))
+                audio[ci] = _fit_audio(self.audio_loader(wav_paths[ci]),
+                                       self.audio_samples)
         if self.split == "test":
             # test-split quirk: a near-empty wav (<=100 samples) reuses the
             # previous clip's audio (dataset_test.py:360-368). Cheap gate on

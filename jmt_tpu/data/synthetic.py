@@ -69,10 +69,11 @@ def synthetic_records(n_videos: int = 2, length: int = 481,
 
 def synthetic_dataset(split: str, n_videos: int = 2, length: int = 481,
                       missing_every: int = 0, stride: int = 1,
-                      img_size: int = IMG_SIZE) -> WindowedDataset:
+                      img_size: int = IMG_SIZE,
+                      check_coverage: bool = True) -> WindowedDataset:
     return WindowedDataset(
         synthetic_records(n_videos, length, missing_every), split=split,
         stride=stride,
         frame_loader=synthetic_frame_loader,
         audio_loader=synthetic_audio_loader,
-        img_size=img_size)
+        img_size=img_size, check_coverage=check_coverage)

@@ -34,6 +34,10 @@ class Stitcher:
         self.pred_a: Dict[str, np.ndarray] = {}
         self.label_v: Dict[str, np.ndarray] = {}
         self.label_a: Dict[str, np.ndarray] = {}
+        # ordering contract: windows of a video must arrive in sequence
+        # (overlapping windows overwrite — last write wins, so order
+        # changes results); tracks the last seen anchor per video
+        self._last_anchor: Dict[str, int] = {}
 
     def add_batch(self, vouts: np.ndarray, aouts: np.ndarray,
                   anchors: np.ndarray, videos: Sequence[str],
@@ -48,17 +52,28 @@ class Stitcher:
         b = len(videos) if n_real is None else n_real
         for i in range(b):
             vid, length = videos[i], int(lengths[i])
+            first = int(anchors[i][0])
             if vid not in self.pred_v:
-                # ordering contract: a video's first window starts at
-                # anchor... the reference dies if frameid>1 (val.py:320-325)
-                if int(anchors[i][0]) > 32:
+                # the reference dies unless a video's FIRST seen frame is
+                # frameid 1 (val.py:320-325: `if frameid > 1: ... exit`)
+                if first > 1:
                     raise ValueError(
                         f"out-of-order windows for {vid}: first anchor "
-                        f"{int(anchors[i][0])} (reference exits here too)")
+                        f"{first} != 1 (reference exits here too — "
+                        f"val.py:320-325)")
                 self.pred_v[vid] = np.zeros(length)
                 self.pred_a[vid] = np.zeros(length)
                 self.label_v[vid] = np.zeros(length)
                 self.label_a[vid] = np.zeros(length)
+            elif first < self._last_anchor.get(vid, 0):
+                # overlapping windows are written last-wins (like the
+                # reference's sequential loop) — a shuffled/parallel eval
+                # loader would silently mis-stitch, so die instead
+                raise ValueError(
+                    f"non-sequential windows for {vid}: anchor {first} "
+                    f"after {self._last_anchor[vid]} — eval batches must "
+                    f"arrive in dataset order")
+            self._last_anchor[vid] = first
             for j in range(vouts.shape[1]):
                 fid = int(anchors[i][j])
                 if fid > length:

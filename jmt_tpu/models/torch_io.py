@@ -367,3 +367,38 @@ def i3d_tcn_vars(sd: Mapping[str, Any]) -> Params:
     tcn = tcn_params(sd, num_blocks=4, prefix="temporal.")
     return {"params": {"i3d": i3d["params"], "temporal": tcn},
             "batch_stats": {"i3d": i3d["batch_stats"]}}
+
+
+def _sub_sd(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
+    return {k[len(prefix):]: v for k, v in sd.items()
+            if k.startswith(prefix)}
+
+
+def tsav_vars(sd: Mapping[str, Any]) -> Params:
+    """TwoStreamAuralVisualModel sd (the reference's all_backbones.pt
+    export, main.py:105-177) -> models.tsav.TwoStreamBackbones variables.
+
+    Submodule attribute names per tsav.py:119-173: ``audio_resnet18``
+    (AudioModel -> .resnet), ``vision_r2d1`` (VideoModel -> .r2plus1d),
+    ``vision_r2d1_fc`` (the FLATTEN-reduce Linear), ``vision_i3d``
+    (I3D_WSDDA)."""
+    sd = strip_module_prefix(sd)
+    params: Params = {}
+    stats: Params = {}
+    if any(k.startswith("audio_resnet18.") for k in sd):
+        tree = resnet18_vars(_sub_sd(sd, "audio_resnet18.resnet."))
+        params["audio_resnet18"] = tree["params"]
+        stats["audio_resnet18"] = tree["batch_stats"]
+    if any(k.startswith("vision_r2d1.") for k in sd):
+        tree = video_resnet_vars(_sub_sd(sd, "vision_r2d1.r2plus1d."),
+                                 arch="r2plus1d")
+        params["vision_r2d1"] = tree["params"]
+        stats["vision_r2d1"] = tree["batch_stats"]
+    if "vision_r2d1_fc.weight" in sd:
+        params["vision_r2d1_fc"] = r2d1_flatten_fc_params(
+            sd, prefix="vision_r2d1_fc")
+    if any(k.startswith("vision_i3d.") for k in sd):
+        tree = i3d_tcn_vars(_sub_sd(sd, "vision_i3d."))
+        params["vision_i3d"] = tree["params"]
+        stats["vision_i3d"] = tree["batch_stats"]
+    return {"params": params, "batch_stats": stats}

@@ -31,23 +31,40 @@ def _pearson_num_den(x: jnp.ndarray, y: jnp.ndarray):
 
 
 def ccc_loss(pred: jnp.ndarray, target: jnp.ndarray,
-             eps: float = 1e-8) -> jnp.ndarray:
+             eps: float = 1e-8,
+             weight: jnp.ndarray | None = None) -> jnp.ndarray:
     """1 - CCC with torch-semantics (sample std), matching
     losses/loss.py:18-32 bit-for-bit in fp32.
 
     Args:
       pred, target: any shape; flattened internally (reference flattens to
         (1, b*seq) — train.py:303-311).
+      weight: optional {0,1} element weights (flattened like pred). With
+        all-ones this is algebraically identical to the unweighted form;
+        zeros exclude entries — used to mask static-batch padding rows out
+        of the gradient (the reference instead drops the ragged last batch,
+        main.py:655 drop_last=True).
     """
     x = pred.reshape(-1)
     y = target.reshape(-1)
-    num, den = _pearson_num_den(x, y)
+    if weight is None:
+        n = jnp.asarray(x.shape[0], x.dtype)
+        x_m, y_m = jnp.mean(x), jnp.mean(y)
+        vx = x - x_m
+        vy = y - y_m
+    else:
+        w = weight.reshape(-1).astype(x.dtype)
+        n = jnp.sum(w)
+        x_m = jnp.sum(x * w) / n
+        y_m = jnp.sum(y * w) / n
+        vx = (x - x_m) * w
+        vy = (y - y_m) * w
+    num = jnp.sum(vx * vy)
+    den = jnp.sqrt(jnp.sum(vx ** 2)) * jnp.sqrt(jnp.sum(vy ** 2))
     rho = num / (den + eps)
-    x_m, y_m = jnp.mean(x), jnp.mean(y)
     # torch.std is the unbiased (n-1) sample std
-    n = x.shape[0]
-    x_s = jnp.sqrt(jnp.sum((x - x_m) ** 2) / (n - 1))
-    y_s = jnp.sqrt(jnp.sum((y - y_m) ** 2) / (n - 1))
+    x_s = jnp.sqrt(jnp.sum(vx ** 2) / (n - 1))
+    y_s = jnp.sqrt(jnp.sum(vy ** 2) / (n - 1))
     ccc = 2 * rho * x_s * y_s / (x_s ** 2 + y_s ** 2 + (x_m - y_m) ** 2)
     return 1.0 - ccc
 

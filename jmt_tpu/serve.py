@@ -1,0 +1,228 @@
+"""Serving: ahead-of-time compiled, fixed-shape batched inference.
+
+The TPU-native serving story the reference never had (its test.py is an
+offline batch script). Design:
+
+* **Compile once, stream many** — the flagship forward (device
+  preprocessing + backbones + fusion) is AOT-compiled per batch bucket via
+  ``jit(...).lower(...).compile()`` at server construction; request time
+  never traces or compiles.
+* **Static batch buckets** — requests are padded UP to the smallest
+  compiled bucket (powers of two by default); XLA sees only static shapes.
+* **bf16 compute** — same policy as training (model_params.compute_dtype).
+* Weights come from a training run (``SavedWeights/`` components — the
+  BEST epoch — or the monolithic train_state).
+
+Usage:
+    server = InferenceServer.from_experiment(exp_dir)
+    v, a = server.predict(clips_u8, audio_f32, wavlm)   # (B,S) each
+
+CLI self-test (synthetic input, prints latency JSON):
+    python -m jmt_tpu.serve [--exp-dir DIR] [--buckets 1,8]
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class InferenceServer:
+    """AOT-compiled fixed-bucket batched inference on one model state."""
+
+    def __init__(self, model, params, batch_stats,
+                 seq: int = 16, buckets: Sequence[int] = (1, 8),
+                 img_size: int = 112, audio_samples: Optional[int] = None,
+                 use_wavlm: Optional[bool] = None):
+        from jmt_tpu.ops.mel import AUDIO_SAMPLES
+        self.model = model
+        self.seq = seq
+        self.img = img_size
+        self.audio_samples = audio_samples or AUDIO_SAMPLES
+        self.use_wavlm = ("wavLM" in model.audio_backbones
+                          if use_wavlm is None else use_wavlm)
+        self.buckets = sorted(set(int(b) for b in buckets))
+        self.variables = {
+            "params": jax.device_put(params),
+            "batch_stats": jax.device_put(batch_stats),
+        }
+        self._compiled: Dict[int, object] = {}
+        for b in self.buckets:
+            self._compiled[b] = self._compile(b)
+
+    # ------------------------------------------------------------------
+    def _example(self, b: int):
+        arrays = {
+            "clips": jnp.zeros((b, self.seq, 8, self.img, self.img, 3),
+                               jnp.uint8),
+            "audio": jnp.zeros((b, self.seq, self.audio_samples),
+                               jnp.float32),
+        }
+        if self.use_wavlm:
+            arrays["wavlm"] = jnp.zeros((b, self.seq, 768), jnp.float32)
+        return arrays
+
+    def _compile(self, b: int):
+        from jmt_tpu.train.loops import _preprocess
+
+        def fwd(variables, arrays):
+            spec, clips = _preprocess(self.model, arrays, None,
+                                      augment=False)
+            return self.model.apply(variables, spec, clips,
+                                    arrays.get("wavlm"), train=False)
+
+        return (jax.jit(fwd)
+                .lower(self.variables, self._example(b))
+                .compile())
+
+    # ------------------------------------------------------------------
+    def predict(self, clips: np.ndarray, audio: np.ndarray,
+                wavlm: Optional[np.ndarray] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """clips (B,S,8,H,W,3) uint8, audio (B,S,A) f32, wavlm (B,S,768).
+        Pads B up to the smallest compiled bucket; splits oversize requests
+        into max-bucket chunks. Returns (vouts, aouts) as (B,S) float32."""
+        n = clips.shape[0]
+        top = self.buckets[-1]
+        if n > top:
+            parts = [self.predict(clips[i:i + top], audio[i:i + top],
+                                  None if wavlm is None
+                                  else wavlm[i:i + top])
+                     for i in range(0, n, top)]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
+        b = next(x for x in self.buckets if x >= n)
+
+        def pad(x):
+            if x.shape[0] == b:
+                return x
+            return np.concatenate(
+                [x, np.zeros((b - x.shape[0],) + x.shape[1:], x.dtype)])
+
+        arrays = {"clips": pad(np.asarray(clips)),
+                  "audio": pad(np.asarray(audio, np.float32))}
+        if self.use_wavlm:
+            assert wavlm is not None, "model was built with a wavLM path"
+            arrays["wavlm"] = pad(np.asarray(wavlm, np.float32))
+        v, a = self._compiled[b](self.variables, arrays)
+        return (np.asarray(v, np.float32)[:n], np.asarray(a, np.float32)[:n])
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_experiment(cls, exp_dir: str, buckets: Sequence[int] = (1, 8),
+                        weights: str = "auto") -> "InferenceServer":
+        """Build from a finished training run: final_config.yml + the BEST
+        per-component weights (or the final train_state)."""
+        import os
+        from jmt_tpu.core.config import Config
+        from jmt_tpu.train.runner import Runner
+        from jmt_tpu.core import checkpoint as ckpt
+        from jmt_tpu.data.synthetic import synthetic_dataset
+
+        cfg = Config.from_file(os.path.join(exp_dir, "final_config.yml"))
+        cfg.Mode = "Eval"
+        cfg.mesh_data_parallel = 1
+        train = synthetic_dataset("train", n_videos=1, length=481,
+                                  stride=481, check_coverage=False)
+        runner = Runner(cfg, train, None)
+        runner.initialize()
+        wdir = os.path.join(exp_dir, "SavedWeights")
+        import glob
+        has_components = any(
+            not p.endswith(ckpt.STATE_FILE)
+            for p in glob.glob(os.path.join(wdir, "*.msgpack"))
+            + glob.glob(os.path.join(wdir, "*.pt")))
+        if weights == "components" or (weights == "auto" and has_components):
+            runner.load_components(wdir)
+        else:
+            runner.state = ckpt.restore_train_state(wdir, runner.state)
+        return cls(runner.model, runner.state.params(),
+                   runner.state.batch_stats, buckets=buckets)
+
+
+def measure_latency(server: InferenceServer, bucket: int,
+                    iters: int = 16, warmup: int = 2) -> Dict[str, float]:
+    """p50/p90 request latency per bucket. True device sync via a scalar
+    fetch (on the axon relay, block_until_ready returns early)."""
+    rng = np.random.default_rng(0)
+    clips = rng.integers(0, 255, (bucket, server.seq, 8, server.img,
+                                  server.img, 3), dtype=np.uint8)
+    audio = (rng.normal(size=(bucket, server.seq, server.audio_samples))
+             * 0.1).astype(np.float32)
+    wavlm = (rng.normal(size=(bucket, server.seq, 768)).astype(np.float32)
+             if server.use_wavlm else None)
+    for _ in range(warmup):
+        server.predict(clips, audio, wavlm)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        v, _ = server.predict(clips, audio, wavlm)  # np.asarray = sync
+        float(v.sum())
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    clips_per_req = bucket * server.seq
+    return {
+        "bucket": bucket,
+        "p50_ms": times[len(times) // 2] * 1e3,
+        "p90_ms": times[int(len(times) * 0.9)] * 1e3,
+        "p50_ms_per_clip": times[len(times) // 2] * 1e3 / clips_per_req,
+        "clips_per_s": clips_per_req / times[len(times) // 2],
+    }
+
+
+def _selftest(buckets=(1, 8), heavy=False) -> Dict:
+    """Synthetic-weights self-test: AOT-compile + latency per bucket."""
+    import __main__  # noqa: F401
+    from jmt_tpu.models.jmt_model import JMTModel
+    from jmt_tpu.train.loops import _preprocess
+
+    model = JMTModel(
+        vision_backbones=("R2D1", "I3D") if heavy else ("R2D1",),
+        audio_backbones=("ResNet18", "wavLM") if heavy else ("ResNet18",),
+        intra_modal_fusion=("encoder_plus_self_attention" if heavy
+                            else "None"),
+        joint_modalities="TRANSFORMER", output_format="SELF_ATTEN",
+        dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    arrays = {
+        "clips": rng.integers(0, 255, (1, 16, 8, 112, 112, 3),
+                              dtype=np.uint8),
+        "audio": (rng.normal(size=(1, 16, 45599)) * .1).astype(np.float32),
+    }
+    if "wavLM" in model.audio_backbones:
+        arrays["wavlm"] = rng.normal(size=(1, 16, 768)).astype(np.float32)
+    spec, clips = _preprocess(model, arrays, None, augment=False)
+    variables = model.init(jax.random.PRNGKey(0), spec, clips,
+                           arrays.get("wavlm"))
+    server = InferenceServer(model, variables["params"],
+                             variables.get("batch_stats", {}),
+                             buckets=buckets)
+    out = {"buckets": {}}
+    for b in buckets:
+        out["buckets"][str(b)] = measure_latency(server, b)
+    return out
+
+
+if __name__ == "__main__":
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--exp-dir", default=None)
+    p.add_argument("--buckets", default="1,8")
+    p.add_argument("--heavy", action="store_true",
+                   help="self-test with the full flagship model")
+    args = p.parse_args()
+    buckets = tuple(int(x) for x in args.buckets.split(","))
+    if args.exp_dir:
+        server = InferenceServer.from_experiment(args.exp_dir,
+                                                 buckets=buckets)
+        stats = {"buckets": {str(b): measure_latency(server, b)
+                             for b in buckets}}
+    else:
+        stats = _selftest(buckets)
+    print(json.dumps(stats))

@@ -101,11 +101,17 @@ def make_train_step(model, tx, more_vision_augm: bool = False,
                 {"params": params, "batch_stats": state.batch_stats},
                 spec, clips, wavlm, train=True,
                 rngs={"dropout": drop_key}, mutable=["batch_stats"])
-            # flatten exactly like train.py:303-311 (quirk-compatible)
+            # flatten exactly like train.py:303-311 (quirk-compatible).
+            # row_weight (B,) masks static-batch PADDING rows out of the
+            # gradient (replaces the reference's drop_last=True, main.py:655)
+            rw = arrays.get("row_weight")
+            w = (None if rw is None else
+                 jnp.broadcast_to(rw[:, None].astype(vouts.dtype),
+                                  vouts.shape).reshape(-1))
             v_loss = ccc_loss(vouts.reshape(-1),
-                              arrays["labels_v"].reshape(-1))
+                              arrays["labels_v"].reshape(-1), weight=w)
             a_loss = ccc_loss(aouts.reshape(-1),
-                              arrays["labels_a"].reshape(-1))
+                              arrays["labels_a"].reshape(-1), weight=w)
             return v_loss + a_loss, (vouts, aouts,
                                      updates.get("batch_stats",
                                                  state.batch_stats))
@@ -138,15 +144,23 @@ def make_eval_step(model) -> Callable:
 
 
 def init_state(model, cfg, rng: jax.Array, sample_arrays: Dict[str, Any],
-               tx) -> TrainState:
+               tx, variables_hook: Optional[Callable] = None) -> TrainState:
     """Initialize params/batch_stats from a sample batch and build the
-    trainable/frozen partition per the config's freeze policy."""
+    trainable/frozen partition per the config's freeze policy.
+
+    variables_hook(params, batch_stats) -> (params, batch_stats) runs
+    BEFORE partitioning/optimizer init — the pretrained-graft point
+    (models.pretrained; reference main.py:218-302)."""
     from jmt_tpu.train.state import frozen_prefixes, partition_params
 
     spec, clips = _preprocess(model, sample_arrays, None, augment=False)
     variables = model.init(rng, spec, clips, sample_arrays.get("wavlm"))
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
+    from flax.core import unfreeze
+    params = jax.tree.map(np.asarray, unfreeze(variables["params"]))
+    batch_stats = jax.tree.map(
+        np.asarray, unfreeze(variables.get("batch_stats", {})))
+    if variables_hook is not None:
+        params, batch_stats = variables_hook(params, batch_stats)
     trainable, frz = partition_params(params, frozen_prefixes(cfg))
     opt_state = tx.init(trainable)
     return TrainState(trainable=trainable, frozen=frz,

@@ -36,7 +36,8 @@ from jmt_tpu.train.loops import (make_train_step, make_eval_step, init_state,
 from jmt_tpu.data.loader import PrefetchLoader
 from jmt_tpu.train.state import TrainState
 from jmt_tpu.eval.stitch import Stitcher, write_challenge_txt
-from jmt_tpu.parallel.mesh import pad_batch_to
+from jmt_tpu.parallel.mesh import (pad_batch_to, make_mesh, shard_batch,
+                                   replicated_sharding)
 
 
 @dataclasses.dataclass
@@ -78,6 +79,13 @@ class Runner:
         self.tracker: Dict[str, list] = {"train_v": [], "train_a": [],
                                          "valid_v": [], "valid_a": []}
         self.best = {"avg": -np.inf, "epoch": -1}
+        # host copy of the best epoch's (params, batch_stats) — the
+        # reference deep-copies state dicts on improvement and writes THOSE
+        # at the end (main.py:843-995, 1028-1037)
+        self._best_snapshot = None
+        # the production data-parallel mesh (cfg.mesh_data_parallel; the
+        # reference applies its DP wrapper in the run path, main.py:304-306)
+        self.mesh = make_mesh(cfg.mesh_data_parallel)
 
     # ------------------------------------------------------------------
     def _first_batch_arrays(self):
@@ -90,14 +98,51 @@ class Runner:
     def initialize(self) -> None:
         set_global_seed(self.cfg.SEED)
         arrays = self._first_batch_arrays()
+
+        def pretrained_hook(params, batch_stats):
+            """init_w_* policy (reference main.py:218-302, tsav.py:35-116):
+            graft pretrained backbone weights before partition/opt init."""
+            from jmt_tpu.models.pretrained import apply_pretrained
+            params, batch_stats, report = apply_pretrained(
+                self.cfg, params, batch_stats)
+            for comp, path in report.items():
+                self.log.log(f"Loaded pretrained weights [{comp}]: {path}")
+            return params, batch_stats
+
         self.state = init_state(self.model, self.cfg,
                                 jax.random.PRNGKey(self.cfg.SEED),
-                                arrays, self.tx)
+                                arrays, self.tx,
+                                variables_hook=pretrained_hook)
+        # replicate the state over the data mesh; batches are sharded on
+        # their leading axis and XLA inserts the gradient all-reduce
+        n = self.mesh.size
+        for split in ("train_params", "val_params", "test_params"):
+            bsz = getattr(self.cfg, split).loader_params.batch_size
+            assert bsz % n == 0, (
+                f"{split}.loader_params.batch_size={bsz} must be divisible "
+                f"by the {n}-device data mesh")
+        if n > 1:
+            self.state = jax.device_put(self.state,
+                                        replicated_sharding(self.mesh))
         from jmt_tpu.train.state import param_count
         self.log.log({
             "trainable_params": param_count(self.state.trainable),
             "frozen_params": param_count(self.state.frozen),
+            "mesh_devices": n,
         })
+
+    # ------------------------------------------------------------------
+    def _device_arrays(self, batch, bsz: int):
+        """Host batch -> padded, row-weighted, mesh-sharded device arrays.
+        Returns (arrays, n_real)."""
+        arrays = device_batch(batch)
+        arrays, n_real = pad_batch_to(arrays, bsz)
+        w = np.zeros(bsz, np.float32)
+        w[:n_real] = 1.0
+        arrays["row_weight"] = w
+        if self.mesh.size > 1:
+            arrays = shard_batch(self.mesh, arrays)
+        return arrays, n_real
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> EpochMetrics:
@@ -121,8 +166,7 @@ class Runner:
         profiling = bool(cfg.profile_dir) and epoch == cfg.profile_epoch
         t_step = datetime.datetime.now()
         for batch in loader:
-            arrays = device_batch(batch)
-            arrays, n_real = pad_batch_to(arrays, bsz)
+            arrays, n_real = self._device_arrays(batch, bsz)
             key, sub = jax.random.split(key)
             if profiling and n == 2:  # trace steps 2-4 (post-compile)
                 jax.profiler.start_trace(cfg.profile_dir)
@@ -166,8 +210,7 @@ class Runner:
         for batch in PrefetchLoader(
                 dataset, bsz, shuffle=False, wavlm_store=self.wavlm_store,
                 prefetch=self.cfg.val_params.loader_params.prefetch):
-            arrays = device_batch(batch)
-            arrays, n_real = pad_batch_to(arrays, bsz)
+            arrays, n_real = self._device_arrays(batch, bsz)
             vouts, aouts = self.eval_step(self.state, arrays)
             stitcher.add_batch(np.asarray(vouts), np.asarray(aouts),
                                batch.anchors, batch.videos, batch.lengths,
@@ -187,8 +230,7 @@ class Runner:
                 self.test_ds, bsz, shuffle=False,
                 wavlm_store=self.wavlm_store,
                 prefetch=self.cfg.test_params.loader_params.prefetch):
-            arrays = device_batch(batch)
-            arrays, n_real = pad_batch_to(arrays, bsz)
+            arrays, n_real = self._device_arrays(batch, bsz)
             vouts, aouts = self.eval_step(self.state, arrays)
             stitcher.add_batch(np.asarray(vouts), np.asarray(aouts),
                                batch.anchors, batch.videos, batch.lengths,
@@ -198,11 +240,44 @@ class Runner:
             stitcher.dump_pkl(store_pkl)
 
     # ------------------------------------------------------------------
+    def snapshot_best(self) -> None:
+        """Host-copy the current (params, batch_stats) as the best-epoch
+        snapshot (reference deepcopy_state_dict on improvement,
+        main.py:843-995)."""
+        self._best_snapshot = jax.tree.map(
+            np.asarray, (self.state.params(), self.state.batch_stats))
+
     def dump_best(self) -> None:
-        params = self.state.params()
-        ckpt.export_components(self.exp.weights_dir, params,
-                               self.state.batch_stats)
-        ckpt.save_train_state(self.exp.weights_dir, self.state)
+        """Export the BEST epoch's weights to SavedWeights/ (the reference
+        writes the tracked best copies at the end, main.py:1028-1037), or
+        the current state if no snapshot was taken yet."""
+        if self._best_snapshot is not None:
+            params, batch_stats = self._best_snapshot
+        else:
+            params, batch_stats = self.state.params(), self.state.batch_stats
+        ckpt.export_components(self.exp.weights_dir, params, batch_stats)
+
+    def load_components(self, directory: str) -> Dict[str, str]:
+        """Assemble the model FROM per-component weight files — ours
+        (.msgpack) or reference SavedWeights exports (.pt) — completing
+        Eval-mode parity with main.py:508-609. Rebuilds the train state
+        (partition + fresh optimizer) around the assembled variables."""
+        from jmt_tpu.train.state import frozen_prefixes, partition_params
+        if self.state is None:
+            self.initialize()
+        params = jax.tree.map(np.asarray, self.state.params())
+        batch_stats = jax.tree.map(np.asarray, self.state.batch_stats)
+        loaded = ckpt.assemble_from_components(directory, self.cfg,
+                                               params, batch_stats)
+        trainable, frz = partition_params(params,
+                                          frozen_prefixes(self.cfg))
+        self.state = TrainState(trainable=trainable, frozen=frz,
+                                batch_stats=batch_stats,
+                                opt_state=self.tx.init(trainable),
+                                epoch=self.state.epoch)
+        for name, path in loaded.items():
+            self.log.log(f"Loaded component weights [{name}]: {path}")
+        return loaded
 
     def resume(self) -> bool:
         """Restore the full train state from the experiment dir if present
@@ -241,9 +316,13 @@ class Runner:
                 self.best = {"avg": vm.valid_avg, "epoch": epoch,
                              "valid_v": vm.valid_ccc_v,
                              "valid_a": vm.valid_ccc_a}
+                self.snapshot_best()
                 if cfg.dump_best_model_every_time:
                     self.dump_best()
             self.state = dataclasses.replace(self.state, epoch=epoch + 1)
+            # full train-state checkpoint every epoch: true resume from the
+            # LATEST state (beyond the reference, which has no resume)
+            ckpt.save_train_state(self.exp.weights_dir, self.state)
             self.log.metrics(step=epoch,
                              train_ccc_v=tm.train_ccc_v,
                              train_ccc_a=tm.train_ccc_a,

@@ -89,6 +89,56 @@ def test_sharded_eval_step_runs():
     assert np.isfinite(np.asarray(v)).all()
 
 
+@pytest.mark.slow
+def test_runner_fit_mesh8_matches_mesh1(tmp_path):
+    """The PRODUCTION Runner path on the 8-device mesh == single device:
+    same config/seed, mesh_data_parallel 1 vs 8, identical final trainable
+    params and train CCC (VERDICT item 2 done-criterion). Uses a ragged
+    final batch so pad+row-weight masking is exercised ON the mesh."""
+    from jmt_tpu.data.synthetic import synthetic_dataset
+    from jmt_tpu.train.runner import Runner
+
+    def run(mesh_n, tag):
+        cfg = Config.from_dict({
+            "exp_id": tag, "outd": str(tmp_path / tag),
+            "mesh_data_parallel": mesh_n,
+            "train_params": {"loader_params": {"batch_size": 8,
+                                               "shuffle": True}},
+            "val_params": {"loader_params": {"batch_size": 8}},
+            "test_params": {},
+            "model_params": {
+                "l_vision_backbones": "R2D1",
+                "l_audio_backbones": "ResNet18",
+                "joint_modalities": "TRANSFORMER",
+                "output_format": "SELF_ATTEN",
+                "compute_dtype": "float32",
+                "max_epochs": 1,
+            },
+            "SEED": 3,
+        })
+        # 5 train windows -> one full batch of 8? no: 5 -> ONE ragged batch
+        # (padded 5->8); 1 val video -> ragged eval batch too
+        train = synthetic_dataset("train", n_videos=5, length=481,
+                                  stride=481, img_size=32,
+                                  check_coverage=False)
+        val = synthetic_dataset("val", n_videos=1, length=481, stride=481,
+                                img_size=32, check_coverage=False)
+        r = Runner(cfg, train, val)
+        perfs = r.fit()
+        return r, perfs
+
+    r1, p1 = run(1, "m1")
+    r8, p8 = run(8, "m8")
+    assert r8.mesh.size == 8
+    for a, b in zip(jax.tree.leaves(r1.state.trainable),
+                    jax.tree.leaves(r8.state.trainable)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+    assert p1["best"]["valid_v"] == pytest.approx(p8["best"]["valid_v"],
+                                                  abs=2e-4)
+    assert p1["best"]["valid_a"] == pytest.approx(p8["best"]["valid_a"],
+                                                  abs=2e-4)
+
+
 def test_pad_batch_to():
     arrays = tiny_arrays(b=3)
     padded, n_real = pad_batch_to(arrays, 8)

@@ -1,0 +1,265 @@
+"""Round-2 orchestration semantics: pad-row loss masking, best-snapshot
+export, per-component eval assembly, stitcher ordering contract, 5-fold
+split conventions."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from jmt_tpu.core.config import Config
+from jmt_tpu.ops.ccc import ccc_loss
+
+
+# ------------------------------------------------------------------ loss --
+def test_ccc_loss_weight_masks_padding():
+    """ccc_loss(weight=1s+0s over pad) == ccc_loss over the real slice —
+    padded rows contribute NOTHING to the loss (VERDICT weak #1)."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, 50).astype(np.float32)
+    y = rng.uniform(-1, 1, 50).astype(np.float32)
+    base = float(ccc_loss(jnp.asarray(x), jnp.asarray(y)))
+    xp = np.concatenate([x, np.zeros(30, np.float32)])
+    yp = np.concatenate([y, np.zeros(30, np.float32)])
+    w = np.concatenate([np.ones(50, np.float32), np.zeros(30, np.float32)])
+    masked = float(ccc_loss(jnp.asarray(xp), jnp.asarray(yp),
+                            weight=jnp.asarray(w)))
+    assert masked == pytest.approx(base, abs=1e-6)
+    # all-ones weight is algebraically the unweighted form
+    allones = float(ccc_loss(jnp.asarray(x), jnp.asarray(y),
+                             weight=jnp.ones(50)))
+    assert allones == pytest.approx(base, abs=1e-6)
+
+
+class _StubModel(nn.Module):
+    """Minimal model with the JMTModel call signature, for testing the
+    train-step plumbing without the heavy backbones."""
+    vision_backbones = ()
+    audio_backbones = ("wavLM",)
+    dtype = None
+
+    @nn.compact
+    def __call__(self, spec, clips, wavlm, train=False):
+        h = nn.Dense(8)(wavlm)
+        h = nn.tanh(h)
+        out = nn.Dense(2)(h)  # (B, S, 2)
+        return out[..., 0], out[..., 1]
+
+
+def _stub_arrays(b, s=4, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "wavlm": rng.normal(size=(b, s, 16)).astype(np.float32),
+        "labels_v": rng.uniform(-1, 1, (b, s)).astype(np.float32),
+        "labels_a": rng.uniform(-1, 1, (b, s)).astype(np.float32),
+    }
+
+
+def test_train_step_pad_rows_do_not_pollute_gradients():
+    """A padded batch with row_weight zeros produces the SAME loss and the
+    SAME parameter update as the unpadded batch (VERDICT item 2)."""
+    from jmt_tpu.train import optim as O
+    from jmt_tpu.train.loops import make_train_step, init_state
+
+    cfg = Config.from_dict({"model_params": {"compute_dtype": "float32"}})
+    model = _StubModel()
+    tx = O.build_optimizer(cfg.model_params.opt)
+    real = _stub_arrays(3)
+    state0 = init_state(model, cfg, jax.random.PRNGKey(0), real, tx)
+    step = make_train_step(model, tx)
+    key = jax.random.PRNGKey(1)
+
+    real_w = dict(real, row_weight=np.ones(3, np.float32))
+    s_a, loss_a, _, _ = step(jax.tree.map(jnp.array, state0), real_w, key)
+
+    padded = {k: np.concatenate([v, np.zeros((5,) + v.shape[1:], v.dtype)])
+              for k, v in real.items()}
+    padded["row_weight"] = np.concatenate(
+        [np.ones(3, np.float32), np.zeros(5, np.float32)])
+    state0b = init_state(model, cfg, jax.random.PRNGKey(0), real, tx)
+    s_b, loss_b, _, _ = step(jax.tree.map(jnp.array, state0b), padded, key)
+
+    assert float(loss_a) == pytest.approx(float(loss_b), abs=1e-6)
+    for x, y in zip(jax.tree.leaves(s_a.trainable),
+                    jax.tree.leaves(s_b.trainable)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_audio_samples_bucket():
+    """Configurable static wav bucket (PARITY.md 'Long-wav truncation'):
+    a wider bucket keeps low-fps chunks whole with left-padding like the
+    reference; the default keeps the TAIL."""
+    from jmt_tpu.data.datasets import _fit_audio
+    wav = np.arange(1, 56449, dtype=np.float32)  # a 25-fps 32-frame chunk
+    out = _fit_audio(wav, 58800)
+    assert out.shape == (58800,)
+    np.testing.assert_array_equal(out[-56448:], wav)
+    assert not out[:58800 - 56448].any()
+    out2 = _fit_audio(wav)
+    np.testing.assert_array_equal(out2, wav[-45599:])
+
+
+# -------------------------------------------------------------- stitcher --
+def test_stitcher_dies_on_late_first_window():
+    """Reference parity: first seen window of a video must start at frame 1
+    (val.py:320-325)."""
+    from jmt_tpu.eval.stitch import Stitcher
+    st = Stitcher(with_labels=False)
+    v = np.zeros((1, 2))
+    anchors = np.array([[33, 65]])
+    with pytest.raises(ValueError, match="out-of-order"):
+        st.add_batch(v, v, anchors, ["vid"], [100])
+
+
+def test_stitcher_dies_on_backwards_window():
+    """Out-of-sequence later windows die loudly instead of silently
+    mis-stitching (VERDICT weak #6)."""
+    from jmt_tpu.eval.stitch import Stitcher
+    st = Stitcher(with_labels=False)
+    v = np.zeros((1, 2))
+    st.add_batch(v, v, np.array([[1, 33]]), ["vid"], [100])
+    st.add_batch(v, v, np.array([[65, 97]]), ["vid"], [100])  # forward ok
+    with pytest.raises(ValueError, match="non-sequential"):
+        st.add_batch(v, v, np.array([[33, 65]]), ["vid"], [100])
+
+
+# ------------------------------------------------------------ 5-fold cfg --
+def test_auto_set_label_paths_folds(tmp_path):
+    for fold in ("fold2",):
+        for sub in ("Train_Set", "Val_Set", "Test_Set"):
+            os.makedirs(tmp_path / "5folds" / fold / sub)
+    cfg = Config.from_dict({
+        "split": "ROUND2",
+        "dataset_annotations_5folds": str(tmp_path / "5folds"),
+    })
+    cfg.auto_set_label_paths()
+    assert cfg.train_params.labelpath == str(
+        tmp_path / "5folds" / "fold2" / "Train_Set")
+    assert cfg.val_params.labelpath.endswith("fold2/Val_Set")
+    assert cfg.test_params.labelpath.endswith("fold2/Test_Set")
+
+
+def test_auto_set_label_paths_default_and_explicit_win(tmp_path):
+    for sub in ("Train_Set", "Val_Set", "Test_Set"):
+        os.makedirs(tmp_path / "VA" / sub)
+    cfg = Config.from_dict({
+        "split": "DEFAULT",
+        "dataset_annotations": str(tmp_path / "VA"),
+        "train_params": {"labelpath": "/explicit/train"},
+    })
+    cfg.auto_set_label_paths()
+    assert cfg.train_params.labelpath == "/explicit/train"  # explicit wins
+    assert cfg.val_params.labelpath == str(tmp_path / "VA" / "Val_Set")
+
+
+def test_invalid_split_rejected():
+    with pytest.raises(AssertionError):
+        Config.from_dict({"split": "ROUND9"})
+
+
+# ----------------------------------------------- best snapshot + assembly --
+@pytest.mark.slow
+def test_best_epoch_export_and_component_roundtrip(tmp_path, monkeypatch):
+    """Train 2 epochs where epoch 0 is best: SavedWeights/ must hold the
+    EPOCH-0 weights (main.py:843-995,1028-1037 semantics) while
+    train_state.msgpack resumes from the FINAL state; then a fresh Runner
+    assembled from components only reproduces the best params exactly
+    (VERDICT items 3 + 6)."""
+    from test_train_e2e import small_config
+    from jmt_tpu.data.synthetic import synthetic_dataset
+    from jmt_tpu.train.runner import Runner, EpochMetrics
+    from jmt_tpu.core import checkpoint as ckpt
+
+    cfg = small_config(tmp_path, max_epochs=2, opt__lr=5e-3)
+    train = synthetic_dataset("train", n_videos=2, length=481, img_size=48)
+    r = Runner(cfg, train, None)
+
+    scripted = iter([EpochMetrics(valid_ccc_v=0.5, valid_ccc_a=0.5),
+                     EpochMetrics(valid_ccc_v=0.1, valid_ccc_a=0.1)])
+    monkeypatch.setattr(r, "validate",
+                        lambda *a, **k: next(scripted))
+    snapshots = []
+    orig_snapshot = r.snapshot_best
+    def capture():
+        orig_snapshot()
+        snapshots.append(r._best_snapshot)
+    monkeypatch.setattr(r, "snapshot_best", capture)
+
+    r.fit()
+    assert len(snapshots) == 1  # only epoch 0 improved
+    best_params, _ = snapshots[0]
+
+    # the exported fusion component equals the EPOCH-0 weights...
+    piece = ckpt.load_component(
+        os.path.join(r.exp.weights_dir, "fusion_w.msgpack"))
+    for want, got in zip(jax.tree.leaves(best_params["fusion_model"]),
+                         jax.tree.leaves(piece["params"])):
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    # ...and differs from the final (epoch-1) state — the old bug exported
+    # the last epoch unconditionally
+    final_fusion = jax.tree.leaves(r.state.params()["fusion_model"])
+    deltas = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+              for a, b in zip(jax.tree.leaves(piece["params"]),
+                              final_fusion)]
+    assert max(deltas) > 0, "epoch-1 training changed nothing?"
+
+    # train_state.msgpack is the FINAL state (true resume)
+    restored = ckpt.restore_train_state(r.exp.weights_dir, r.state)
+    assert restored.epoch == 2
+    for a, b in zip(jax.tree.leaves(restored.trainable),
+                    jax.tree.leaves(r.state.trainable)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # fresh Runner assembled FROM components == best weights
+    cfg2 = small_config(tmp_path, max_epochs=2)
+    cfg2.exp_id = "assembled"
+    r2 = Runner(cfg2, train, None)
+    loaded = r2.load_components(r.exp.weights_dir)
+    assert "fusion_w" in loaded and "all_backbones" in loaded
+    got = r2.state.params()
+    for want, have in zip(jax.tree.leaves(best_params["fusion_model"]),
+                          jax.tree.leaves(got["fusion_model"])):
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(have))
+    for want, have in zip(jax.tree.leaves(best_params["backbones"]),
+                          jax.tree.leaves(got["backbones"])):
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(have))
+
+
+def test_assemble_from_reference_pt_fusion(tmp_path):
+    """A reference SavedWeights/fusion_w.pt (torch, module.-prefixed)
+    assembles into the flax fusion subtree (main.py:508-520 parity)."""
+    torch = pytest.importorskip("torch")
+    from reference_loader import load_reference_models
+    from jmt_tpu.core import checkpoint as ckpt
+    from jmt_tpu.models import TwoTransformers
+    from jmt_tpu.models.torch_io import two_transformers_params
+
+    ref_models = load_reference_models()
+    torch.manual_seed(0)
+    ref = ref_models.two_transformers.Two_transformers(
+        0.0, 0.0, 1, 1, "TRANSFORMER", "SELF_ATTEN")
+    sd = {f"module.{k}": v for k, v in ref.state_dict().items()}
+    wdir = tmp_path / "SavedWeights"
+    os.makedirs(wdir)
+    torch.save(sd, str(wdir / "fusion_w.pt"))
+
+    mod = TwoTransformers(joint_modalities="TRANSFORMER",
+                          output_format="SELF_ATTEN")
+    variables = mod.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 2, 512)), jnp.zeros((1, 2, 512)))
+    from flax.core import unfreeze
+    params = {"fusion_model": jax.tree.map(
+        np.asarray, unfreeze(variables["params"]))}
+    cfg = Config.from_dict({"model_params": {
+        "num_layers": 1, "joint_modalities": "TRANSFORMER",
+        "output_format": "SELF_ATTEN"}})
+    loaded = ckpt.assemble_from_components(str(wdir), cfg, params, {})
+    assert set(loaded) == {"fusion_w"}
+    want = two_transformers_params(sd, 1, "TRANSFORMER", "SELF_ATTEN")
+    got_leaf = params["fusion_model"]["vregressor"]["fc1"]["kernel"]
+    np.testing.assert_allclose(np.asarray(got_leaf),
+                               want["vregressor"]["fc1"]["kernel"],
+                               atol=0)

@@ -35,6 +35,8 @@ def small_config(tmp_path, **model_over):
         "test_params": {},
         "model_params": mp,
         "SEED": 0,
+        # tiny batches are not divisible by the 8-device fake mesh
+        "mesh_data_parallel": 1,
     })
 
 
