@@ -112,7 +112,9 @@ def test_stitcher_reference_semantics():
     # video of length 64, two windows of 4 clips (toy shapes)
     vouts = np.array([[0.5, 0.6, 0.7, 0.8]])
     aouts = np.array([[0.1, 0.2, 0.3, 0.4]])
-    anchors = np.array([[16, 32, 48, 64]])
+    # first window of a video must start at frame 1 (val.py:320-325 —
+    # the Stitcher dies otherwise, see test_stitcher_rejects_out_of_order)
+    anchors = np.array([[1, 32, 48, 64]])
     lv = np.array([[0.9, -5.0, 0.7, 0.6]])
     la = np.array([[0.1, 0.2, -5.0, 0.4]])
     st.add_batch(vouts, aouts, anchors, ["vidA"], [64], lv, la)
@@ -120,7 +122,7 @@ def test_stitcher_reference_semantics():
     assert st.pred_v["vidA"][31] == 0.0 and st.label_v["vidA"][31] == 0.0
     assert st.pred_a["vidA"][47] == 0.0
     # valid slots written at anchor-1
-    assert st.pred_v["vidA"][15] == pytest.approx(0.5)
+    assert st.pred_v["vidA"][0] == pytest.approx(0.5)
     assert st.label_a["vidA"][63] == pytest.approx(0.4)
     ccc_v, ccc_a = st.scores()
     assert np.isfinite([ccc_v, ccc_a]).all()
