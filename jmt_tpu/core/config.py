@@ -157,6 +157,10 @@ class ModelParams:
     compute_dtype: str = "bfloat16"
     # remat (jax.checkpoint) the heavy backbones to trade FLOPs for HBM.
     remat_backbones: bool = False
+    # I3D input resolution: 224 = reference parity (112->224 trilinear
+    # upsample, utils/utils.py:293-300); 112 = TPU-native option skipping
+    # the information-free upsample (~4x fewer I3D FLOPs, NOT parity).
+    i3d_input_size: int = 224
 
     def __post_init__(self):
         if isinstance(self.l_vision_backbones, str):
@@ -191,6 +195,7 @@ class ModelParams:
         assert self.num_layers > 0 and self.num_heads > 0
         assert 0.0 <= self.v_dropout < 1.0 and 0.0 <= self.a_dropout < 1.0
         assert self.compute_dtype in ("bfloat16", "float32"), self.compute_dtype
+        assert self.i3d_input_size in (112, 224), self.i3d_input_size
 
 
 @dataclass

@@ -23,7 +23,8 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from jmt_tpu.ops.conv import conv_nd, max_pool, avg_pool, tf_same_pads
+from jmt_tpu.ops.conv import (conv_nd, conv3d_s2d_hw, max_pool, avg_pool,
+                              tf_same_pads)
 from jmt_tpu.ops.norm import TorchBatchNorm
 from jmt_tpu.ops.initializers import torch_linear_bias
 from jmt_tpu.models.tcn import TemporalConvNet
@@ -31,44 +32,79 @@ from jmt_tpu.models.tcn import TemporalConvNet
 
 class Unit3D(nn.Module):
     """Conv3d with TF-SAME padding [+ BN(eps 1e-3, momentum .01)] [+ ReLU]
-    (pytorch_i3d_new.py:46-118)."""
+    (pytorch_i3d_new.py:46-118).
+
+    Setup-style with an explicit ``in_features`` so the kernel param is
+    addressable by the parent: InceptionModule MERGES the three parallel
+    1x1x1 branch convs over the same input into ONE conv (kernels
+    concatenated along Cout at apply time) and runs each branch's
+    ``epilogue`` (bias/BN/ReLU) on its split — identical numerics and an
+    identical param tree, one pass over the input instead of three.
+    """
     features: int
+    in_features: int = 0  # required (static param shapes in setup)
     kernel: Sequence[int] = (1, 1, 1)
     strides: Sequence[int] = (1, 1, 1)
     use_batch_norm: bool = True
     use_bias: bool = False
     activation: bool = True
+    # EXACT space-to-depth reformulation for spatial-stride-2 stems with
+    # tiny Cin (ops/conv.conv3d_s2d_hw) — better MXU lane packing
+    s2d_hw: bool = False
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray,
-                 use_running_average: bool = True) -> jnp.ndarray:
+    def setup(self):
         import jax
 
-        cin = x.shape[-1]
-        fan_in = cin * self.kernel[0] * self.kernel[1] * self.kernel[2]
-        bound = 1.0 / fan_in ** 0.5
+        if self.in_features:
+            fan_in = (self.in_features * self.kernel[0] * self.kernel[1]
+                      * self.kernel[2])
+            bound = 1.0 / fan_in ** 0.5
 
-        def kernel_init(key, shape, dtype=jnp.float32):
-            # torch Conv3d default: kaiming_uniform(a=sqrt(5)) == U(+-bound)
-            return jax.random.uniform(key, shape, dtype, -bound, bound)
+            def kernel_init(key, shape, dtype=jnp.float32):
+                # torch Conv3d default: kaiming_uniform(a=sqrt(5))
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
 
-        k = self.param("kernel", kernel_init,
-                       (*self.kernel, cin, self.features))
-        pads = tf_same_pads(x.shape[1:4], self.kernel, self.strides)
-        if self.dtype is not None:
-            x, k = x.astype(self.dtype), k.astype(self.dtype)
-        y = conv_nd(x, k, strides=self.strides, padding=pads)
+            self.kernel_p = self.param(
+                "kernel", kernel_init,
+                (*self.kernel, self.in_features, self.features))
+            if self.use_bias:
+                self.bias_p = self.param("bias", torch_linear_bias(fan_in),
+                                         (self.features,))
+        if self.use_batch_norm:
+            self.bn = TorchBatchNorm(momentum=0.01, epsilon=1e-3,
+                                     dtype=self.dtype, name="bn")
+
+    def _kernel(self, cin: int):
+        assert self.in_features and cin == self.in_features, (
+            cin, self.in_features,
+            "Unit3D requires static in_features (setup-style params)")
+        return self.kernel_p
+
+    def epilogue(self, y: jnp.ndarray,
+                 use_running_average: bool = True) -> jnp.ndarray:
+        """bias + BN + ReLU on a precomputed conv output."""
         if self.use_bias:
-            b = self.param("bias", torch_linear_bias(fan_in),
-                           (self.features,))
+            b = self.bias_p
             y = y + (b.astype(self.dtype) if self.dtype is not None else b)
         if self.use_batch_norm:
-            y = TorchBatchNorm(momentum=0.01, epsilon=1e-3, dtype=self.dtype,
-                               name="bn")(y, use_running_average)
+            y = self.bn(y, use_running_average)
         if self.activation:
             y = nn.relu(y)
         return y
+
+    def __call__(self, x: jnp.ndarray,
+                 use_running_average: bool = True) -> jnp.ndarray:
+        k = self._kernel(x.shape[-1])
+        pads = tf_same_pads(x.shape[1:4], self.kernel, self.strides)
+        if self.dtype is not None:
+            x, k = x.astype(self.dtype), k.astype(self.dtype)
+        if (self.s2d_hw and tuple(self.strides) == (1, 2, 2)
+                and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0):
+            y = conv3d_s2d_hw(x, k, pads)
+        else:
+            y = conv_nd(x, k, strides=self.strides, padding=pads)
+        return self.epilogue(y, use_running_average)
 
 
 def max_pool_same(x: jnp.ndarray, kernel: Sequence[int],
@@ -79,24 +115,51 @@ def max_pool_same(x: jnp.ndarray, kernel: Sequence[int],
 
 
 class InceptionModule(nn.Module):
-    """pytorch_i3d_new.py:121-158."""
+    """pytorch_i3d_new.py:121-158.
+
+    TPU optimization (exact): the b0/b1a/b2a branches are all 1x1x1 convs
+    over the SAME input — their kernels are concatenated along Cout into
+    ONE conv (one GEMM, one pass over x instead of three; bigger Cout =
+    better MXU utilization), then split and run through each branch's own
+    bias/BN/ReLU epilogue. Identical numerics in eval AND train mode
+    (per-channel BN stats are independent across the split), identical
+    param/checkpoint tree. Measured: I3D 132 -> see STATUS.md.
+    """
+    in_channels: int
     out_channels: Sequence[int]  # [o0, o1, o2, o3, o4, o5]
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
+    def setup(self):
+        o = self.out_channels
+        c = self.in_channels
+        kw = dict(dtype=self.dtype)
+        self.b0 = Unit3D(o[0], c, (1, 1, 1), **kw)
+        self.b1a = Unit3D(o[1], c, (1, 1, 1), **kw)
+        self.b1b = Unit3D(o[2], o[1], (3, 3, 3), **kw)
+        self.b2a = Unit3D(o[3], c, (1, 1, 1), **kw)
+        self.b2b = Unit3D(o[4], o[3], (3, 3, 3), **kw)
+        self.b3b = Unit3D(o[5], c, (1, 1, 1), **kw)
+
     def __call__(self, x, use_running_average=True):
         o = self.out_channels
-        kw = dict(dtype=self.dtype)
-        b0 = Unit3D(o[0], (1, 1, 1), name="b0", **kw)(x, use_running_average)
-        b1 = Unit3D(o[1], (1, 1, 1), name="b1a", **kw)(x, use_running_average)
-        b1 = Unit3D(o[2], (3, 3, 3), name="b1b", **kw)(b1,
-                                                       use_running_average)
-        b2 = Unit3D(o[3], (1, 1, 1), name="b2a", **kw)(x, use_running_average)
-        b2 = Unit3D(o[4], (3, 3, 3), name="b2b", **kw)(b2,
-                                                       use_running_average)
+        k = jnp.concatenate([self.b0.kernel_p, self.b1a.kernel_p,
+                             self.b2a.kernel_p], axis=-1)  # (1,1,1,C,o0+o1+o3)
+        if self.dtype is not None:
+            xk = x.astype(self.dtype)
+            k = k.astype(self.dtype)
+        else:
+            xk = x
+        y = conv_nd(xk, k, strides=(1, 1, 1),
+                    padding=[(0, 0)] * 3)  # 1x1x1 SAME == VALID
+        y0, y1, y2 = (y[..., :o[0]], y[..., o[0]:o[0] + o[1]],
+                      y[..., o[0] + o[1]:])
+        b0 = self.b0.epilogue(y0, use_running_average)
+        b1 = self.b1b(self.b1a.epilogue(y1, use_running_average),
+                      use_running_average)
+        b2 = self.b2b(self.b2a.epilogue(y2, use_running_average),
+                      use_running_average)
         b3 = max_pool_same(x, (3, 3, 3), (1, 1, 1))
-        b3 = Unit3D(o[5], (1, 1, 1), name="b3b", **kw)(b3,
-                                                       use_running_average)
+        b3 = self.b3b(b3, use_running_average)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
@@ -133,26 +196,35 @@ class InceptionI3d(nn.Module):
         """x: (B, T, H, W, 3). features_only -> avg-pooled features
         (B, T-1, 1, 1, 1024) squeezed to (B, T-1, 1024) by the caller via
         extract-features semantics (pytorch_i3d_new.py:532-537)."""
-        h = Unit3D(64, (7, 7, 7), (1, 2, 2), dtype=self.dtype,
+        h = Unit3D(64, 3, (7, 7, 7), (1, 2, 2), s2d_hw=True,
+                   dtype=self.dtype,
                    name="Conv3d_1a_7x7")(x, use_running_average)
+        cin = 64
         for name, spec in _I3D_STAGES[1:]:
             if name.startswith("MaxPool"):
                 h = max_pool_same(h, *spec)
             elif name.startswith("Mixed"):
-                h = InceptionModule(spec, dtype=self.dtype, name=name)(
+                h = InceptionModule(cin, spec, dtype=self.dtype, name=name)(
                     h, use_running_average)
+                # module output channels: o0 + o2 + o4 + o5
+                cin = spec[0] + spec[2] + spec[4] + spec[5]
             else:
                 feats = {"Conv3d_2b_1x1": (64, (1, 1, 1)),
                          "Conv3d_2c_3x3": (192, (3, 3, 3))}[name]
-                h = Unit3D(feats[0], feats[1], dtype=self.dtype, name=name)(
-                    h, use_running_average)
-        # AvgPool3d([2,7,7], stride 1), valid (pytorch_i3d_new.py:415-416)
-        h = avg_pool(h, (2, 7, 7), (1, 1, 1))
+                h = Unit3D(feats[0], cin, feats[1], dtype=self.dtype,
+                           name=name)(h, use_running_average)
+                cin = feats[0]
+        # AvgPool3d([2,7,7], stride 1), valid (pytorch_i3d_new.py:415-416).
+        # The 7x7 window is the FULL spatial extent at the reference's 224px
+        # input; at the native-112 option the extent is 4x4 — pool over
+        # whatever the full extent is (identical op at 224).
+        h = avg_pool(h, (2, h.shape[2], h.shape[3]), (1, 1, 1))
         if features_only:
             return h  # (B, T-1, 1, 1, 1024)
         # Logits head (dropout omitted at inference; Unit3D 1x1x1 linear)
-        logits = Unit3D(self.num_classes, (1, 1, 1), use_batch_norm=False,
-                        use_bias=True, activation=False, dtype=self.dtype,
+        logits = Unit3D(self.num_classes, 1024, (1, 1, 1),
+                        use_batch_norm=False, use_bias=True,
+                        activation=False, dtype=self.dtype,
                         name="logits")(h, use_running_average)
         return logits.squeeze(3).squeeze(2)  # (B, T', classes)
 

@@ -42,6 +42,7 @@ class JMTModel(nn.Module):
     goal: str = "TRAINING"
     finetune: Sequence[str] = ()  # backbones NOT frozen (main.py:412-466)
     remat: bool = False           # rematerialize backbones in backward
+    i3d_input_size: int = 224     # 112 = native-resolution option
     fc_transpose_quirk: bool = False
     dtype: Optional[jnp.dtype] = None
 
@@ -51,7 +52,7 @@ class JMTModel(nn.Module):
             audio_backbones=tuple(self.audio_backbones),
             r2d1_arch=self.r2d1_arch, r2d1_reduce=self.r2d1_reduce,
             finetune=tuple(self.finetune), remat=self.remat,
-            dtype=self.dtype)
+            i3d_input_size=self.i3d_input_size, dtype=self.dtype)
 
         # intra-modal (vision) — main.py:373-402
         self.fc_layer_for_video_concat = None
@@ -171,4 +172,5 @@ def model_from_config(cfg) -> JMTModel:
         v_dropout=mp.v_dropout, a_dropout=mp.a_dropout,
         r2d1_reduce=mp.R2D1_ft_dim_reduce,
         goal=cfg.goal, finetune=tuple(finetune),
-        remat=mp.remat_backbones, dtype=dtype)
+        remat=mp.remat_backbones, i3d_input_size=mp.i3d_input_size,
+        dtype=dtype)

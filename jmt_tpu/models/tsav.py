@@ -33,8 +33,12 @@ from jmt_tpu.models.i3d import I3DTCN
 def resize_clips_for_i3d(clips: jnp.ndarray, size: int = 224) -> jnp.ndarray:
     """clips: (N, T, H, W, C) -> (N, T, size, size, C), bilinear
     half-pixel-centers (parity with F.interpolate trilinear
-    align_corners=False through the reference's permute trick)."""
+    align_corners=False through the reference's permute trick).
+    Identity when the clips are already at `size` (the native-resolution
+    I3D option, model_params.i3d_input_size=112)."""
     n, t, h, w, c = clips.shape
+    if h == size and w == size:
+        return clips
     return jax.image.resize(clips, (n, t, size, size, c), method="linear")
 
 
@@ -50,6 +54,12 @@ class TwoStreamBackbones(nn.Module):
     # (jax.checkpoint): trades ~1 extra forward for O(depth) less HBM —
     # enables full-finetune at batch sizes the activations wouldn't fit
     remat: bool = False
+    # I3D input resolution: 224 = reference parity (112px clips upsampled
+    # 2x, utils/utils.py:293-300); 112 = TPU-native option that skips the
+    # information-free upsample (~4x fewer I3D FLOPs; NOT reference-parity
+    # — opt in via model_params.i3d_input_size, see tests for the
+    # feature-drift bound)
+    i3d_input_size: int = 224
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -113,7 +123,7 @@ class TwoStreamBackbones(nn.Module):
         if "I3D" in self.vision_backbones:
             b, s = clips.shape[:2]
             flat = clips.reshape(b * s, *clips.shape[2:])
-            resized = resize_clips_for_i3d(flat)
+            resized = resize_clips_for_i3d(flat, self.i3d_input_size)
             tfeat = self.vision_i3d(resized, ura("I3D"),
                                     deterministic)  # (N, T', 512)
             f = jnp.max(tfeat, axis=1)  # max over time (tsav.py:216)

@@ -41,6 +41,8 @@ class Conv3d(nn.Module):
     padding: Sequence[int] = (0, 0, 0)
     use_bias: bool = False
     dtype: Optional[jnp.dtype] = None
+    s2d_hw: bool = False  # keyword-only in practice: keep LAST (callers
+    # pass features/kernel/strides/padding positionally)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -50,7 +52,14 @@ class Conv3d(nn.Module):
         if self.dtype is not None:
             x, k = x.astype(self.dtype), k.astype(self.dtype)
         pads = tuple((p, p) for p in self.padding)
-        y = conv_nd(x, k, strides=self.strides, padding=pads)
+        if (self.s2d_hw and tuple(self.strides) == (1, 2, 2)
+                and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0):
+            # exact space-to-depth stem conv (ops/conv.conv3d_s2d_hw):
+            # Cin=3 stems run at ~20% MXU lane utilization otherwise
+            from jmt_tpu.ops.conv import conv3d_s2d_hw
+            y = conv3d_s2d_hw(x, k, pads)
+        else:
+            y = conv_nd(x, k, strides=self.strides, padding=pads)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + (b.astype(self.dtype) if self.dtype is not None else b)
@@ -157,7 +166,7 @@ class BasicStem(nn.Module):
     @nn.compact
     def __call__(self, x, use_running_average=True):
         h = Conv3d(64, (3, 7, 7), (1, 2, 2), (1, 3, 3), dtype=self.dtype,
-                   name="conv")(x)
+                   s2d_hw=True, name="conv")(x)
         h = TorchBatchNorm(dtype=self.dtype, name="bn")(
             h, use_running_average)
         return nn.relu(h)
@@ -170,7 +179,7 @@ class R2Plus1dStem(nn.Module):
     @nn.compact
     def __call__(self, x, use_running_average=True):
         h = Conv3d(45, (1, 7, 7), (1, 2, 2), (0, 3, 3), dtype=self.dtype,
-                   name="spatial_conv")(x)
+                   s2d_hw=True, name="spatial_conv")(x)
         h = TorchBatchNorm(dtype=self.dtype, name="spatial_bn")(
             h, use_running_average)
         h = nn.relu(h)

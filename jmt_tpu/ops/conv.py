@@ -65,6 +65,52 @@ def conv_nd(x: jnp.ndarray, kernel: jnp.ndarray,
         preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None)
 
 
+def conv3d_s2d_hw(x: jnp.ndarray, kernel: jnp.ndarray,
+                  pads: Sequence[Tuple[int, int]]) -> jnp.ndarray:
+    """EXACT space-to-depth reformulation of a 3-D conv with spatial stride
+    (1, 2, 2) — the I3D stem shape (7x7x7, Cin=3, 224px).
+
+    Motivation: the MXU contracts over (kernel-window x Cin); with Cin=3
+    the lanes pad 3->8 and the stem runs at ~20% utilization (measured,
+    tools/profile_step.py). Folding the 2x2 spatial phases into channels
+    gives Cin=12 and a (kt, ceil((kh+1)/2), ceil((kw+1)/2)) stride-1
+    kernel — identical arithmetic (each output element is the same sum of
+    the same products), better lane packing.
+
+    x: (N, T, H, W, Ci) with H, W even; kernel (kt, kh, kw, Ci, Co);
+    pads: TF-SAME ((t0,t1),(h0,h1),(w0,w1)) as computed for the ORIGINAL
+    stride-(1,2,2) conv. Returns (N, T', H//2, W//2, Co).
+    """
+    kt, kh, kw, ci, co = kernel.shape
+    (t0, t1), (h0, h1), (w0, w1) = pads
+    n, t, h, w, _ = x.shape
+    assert h % 2 == 0 and w % 2 == 0, (h, w)
+    # pad like the original conv; then round H,W up to even for phase split
+    hp, wp = h + h0 + h1, w + w0 + w1
+    xpad = jnp.pad(x, ((0, 0), (t0, t1), (h0, h1 + hp % 2),
+                       (w0, w1 + wp % 2), (0, 0)))
+    hp, wp = hp + hp % 2, wp + wp % 2
+    # (N, Tp, Hp/2, 2, Wp/2, 2, Ci) -> (N, Tp, Hp/2, Wp/2, 2*2*Ci)
+    x4 = xpad.reshape(n, t + t0 + t1, hp // 2, 2, wp // 2, 2, ci)
+    x4 = x4.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+        n, t + t0 + t1, hp // 2, wp // 2, 4 * ci)
+    # kernel phases: k4[kt, mh, mw, (ph, pw, ci), co] = k[kt, 2mh+ph, 2mw+pw]
+    mh, mw = (kh + 1) // 2, (kw + 1) // 2
+    k4 = np_like_zeros(kernel, (kt, mh, mw, 2, 2, ci, co))
+    for ph in (0, 1):
+        for pw in (0, 1):
+            sub = kernel[:, ph::2, pw::2]  # (kt, <=mh, <=mw, ci, co)
+            k4 = k4.at[:, :sub.shape[1], :sub.shape[2], ph, pw].set(sub)
+    k4 = k4.reshape(kt, mh, mw, 4 * ci, co)
+    # output H = Hp/2 - mh + 1 must equal ceil(H/2); same for W
+    return conv_nd(x4, k4, strides=(1, 1, 1),
+                   padding=[(0, 0), (0, 0), (0, 0)])
+
+
+def np_like_zeros(ref: jnp.ndarray, shape) -> jnp.ndarray:
+    return jnp.zeros(shape, ref.dtype)
+
+
 def max_pool(x: jnp.ndarray, window: Sequence[int], strides: Sequence[int],
              padding) -> jnp.ndarray:
     """Channels-last max pool over the spatial dims."""

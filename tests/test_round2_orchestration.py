@@ -126,6 +126,104 @@ def test_stitcher_dies_on_backwards_window():
         st.add_batch(v, v, np.array([[33, 65]]), ["vid"], [100])
 
 
+# ----------------------------------------------------------- conv kernels --
+@pytest.mark.parametrize("shape", [
+    (8, 32, 32, 3, 16, (7, 7, 7), "same"),    # I3D stem geometry
+    (4, 16, 20, 3, 8, (7, 7, 7), "same"),     # odd W/2 rounding
+    (8, 24, 24, 3, 12, (1, 7, 7), "torch"),   # R2D1 spatial stem
+    (6, 16, 16, 3, 10, (3, 7, 7), "torch"),   # BasicStem geometry
+])
+def test_conv3d_s2d_hw_exact(shape):
+    """The space-to-depth stride-2 stem reformulation is the SAME
+    convolution (fp32 reassociation noise only)."""
+    from jmt_tpu.ops.conv import conv_nd, conv3d_s2d_hw, tf_same_pads
+    t, h, w, ci, co, k, padmode = shape
+    rng = np.random.default_rng(hash(shape) % 2 ** 31)
+    x = jnp.asarray(rng.normal(size=(2, t, h, w, ci)), jnp.float32)
+    kern = jnp.asarray(rng.normal(size=(*k, ci, co)), jnp.float32)
+    if padmode == "same":
+        pads = tf_same_pads((t, h, w), k, (1, 2, 2))
+    else:  # torch symmetric k//2
+        pads = tuple((kk // 2, kk // 2) for kk in k)
+    ref = conv_nd(x, kern, strides=(1, 2, 2), padding=list(pads))
+    got = conv3d_s2d_hw(x, kern, pads)
+    assert ref.shape == got.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+@pytest.mark.slow
+def test_i3d_native_112_feature_drift_bounded():
+    """The native-resolution I3D option (model_params.i3d_input_size=112,
+    skips the information-free 112->224 upsample for ~4x fewer FLOPs) is
+    NOT reference-parity; this bounds the drift: same weights, same clips,
+    features at native-112 vs upsampled-224 must stay strongly aligned."""
+    from jmt_tpu.models.i3d import I3DTCN
+    from jmt_tpu.models.tsav import resize_clips_for_i3d
+
+    rng = np.random.default_rng(0)
+    # face-crop-like inputs: low-frequency structure + per-pixel detail
+    # (a pure-smooth input makes the two paths indistinguishable after
+    # spatial pooling — measured drift ~0)
+    base = rng.normal(size=(2, 8, 14, 14, 3))
+    smooth = np.repeat(np.repeat(base, 8, 2), 8, 3) * 0.3
+    detail = rng.normal(size=smooth.shape) * 0.15
+    clips = jnp.asarray(smooth + detail, jnp.float32)
+    mod = I3DTCN()
+    variables = mod.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 8, 112, 112, 3)))
+    # batch-stats BN: at RANDOM init, eval-mode BN (mean 0 / var 1) lets
+    # the deep ReLU stack collapse activations to ~0, which makes any two
+    # inputs produce identical (constant) features — a vacuous comparison
+    f112, _ = mod.apply(variables, clips, False,
+                        mutable=["batch_stats"])
+    f224, _ = mod.apply(variables, resize_clips_for_i3d(clips, 224), False,
+                        mutable=["batch_stats"])
+    f112 = np.asarray(f112).reshape(-1, 512)
+    f224 = np.asarray(f224).reshape(-1, 512)
+    cos = float(np.mean(np.sum(f112 * f224, -1)
+                        / (np.linalg.norm(f112, axis=-1)
+                           * np.linalg.norm(f224, axis=-1) + 1e-9)))
+    rel = float(np.linalg.norm(f112 - f224) / (np.linalg.norm(f224) + 1e-9))
+    print(f"native-112 vs 224 feature drift: cosine={cos:.4f} rel={rel:.4f}")
+    assert cos > 0.5, (cos, rel)
+
+
+# ----------------------------------------------------------------- serve --
+def test_inference_server_buckets_and_padding():
+    """serve.InferenceServer: AOT-compiled buckets, pad-up, chunk-split,
+    and unpadded outputs."""
+    from jmt_tpu.serve import InferenceServer
+    from jmt_tpu.train.loops import _preprocess
+
+    model = _StubModel()
+    rng = np.random.default_rng(0)
+    wavlm = rng.normal(size=(1, 4, 768)).astype(np.float32)
+    arrays = {"wavlm": wavlm}
+    spec, clips = _preprocess(model, arrays, None, augment=False)
+    variables = model.init(jax.random.PRNGKey(0), spec, clips, wavlm)
+    server = InferenceServer(model, variables["params"], {}, seq=4,
+                             buckets=(2, 4), img_size=8, audio_samples=64)
+    assert sorted(server._compiled) == [2, 4]
+
+    def mk(n):
+        return (rng.integers(0, 255, (n, 4, 8, 8, 8, 3), dtype=np.uint8),
+                (rng.normal(size=(n, 4, 64))).astype(np.float32),
+                rng.normal(size=(n, 4, 768)).astype(np.float32))
+
+    # n=3 pads up to bucket 4, output unpadded
+    c, a, w = mk(3)
+    v, ar = server.predict(c, a, w)
+    assert v.shape == (3, 4) and ar.shape == (3, 4)
+    # padding rows do not change real outputs
+    v2, _ = server.predict(c[:2], a[:2], w[:2])
+    np.testing.assert_allclose(v[:2], v2, atol=1e-6)
+    # n=5 splits into max-bucket chunks
+    c, a, w = mk(5)
+    v, ar = server.predict(c, a, w)
+    assert v.shape == (5, 4)
+    assert np.isfinite(v).all()
+
+
 # ------------------------------------------------------------ 5-fold cfg --
 def test_auto_set_label_paths_folds(tmp_path):
     for fold in ("fold2",):

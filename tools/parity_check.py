@@ -141,7 +141,8 @@ def main(img_size: int = 48, length: int = 450) -> dict:
     return result
 
 
-def flagship(img_size: int = 112, length: int = 450) -> dict:
+def flagship(img_size: int = 112, length: int = 450,
+             stride: int = 8) -> dict:
     """FLAGSHIP-config cross-framework parity: R2D1+I3D(+TCN) vision with
     intra-modal transformer fusion, ResNet18+wavLM audio with intra-modal
     transformer fusion, JMT w/ JR SELF_ATTEN — both frameworks end-to-end
@@ -204,8 +205,11 @@ def flagship(img_size: int = 112, length: int = 450) -> dict:
     j_fusion = TwoTransformers(joint_modalities="TRANSFORMER",
                                output_format="SELF_ATTEN")
 
+    # stride>1 keeps the window count CPU-feasible (I3D at 224 in BOTH
+    # frameworks per window); stitch/overlap semantics are unchanged
     ds = synthetic_dataset("val", n_videos=1, length=length,
-                           img_size=img_size)
+                           img_size=img_size, stride=stride,
+                           check_coverage=stride == 1)
     rng = np.random.default_rng(42)
     st_j = Stitcher(with_labels=True)
     preds_t_v, preds_t_a = {}, {}

@@ -93,7 +93,7 @@ def main(b=8, s=16, iters=8):
                                         iters=iters) * 1e3
 
     # stem conv (Conv3d_1a_7x7) on the 224 input
-    stem = Unit3D(64, (7, 7, 7), (1, 2, 2), dtype=dt)
+    stem = Unit3D(64, 3, (7, 7, 7), (1, 2, 2), dtype=dt)
     x224 = jax.device_put(jnp.zeros((b * s, 8, 224, 224, 3), dt))
     stem_vars = {
         "params": i3d_vars["params"]["i3d"]["Conv3d_1a_7x7"],
