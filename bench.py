@@ -84,8 +84,16 @@ def bench_jmt_tpu():
         acc = step_sum(variables, dev_arrays)
     float(acc)
     dt = (time.perf_counter() - t0) / N_ITERS
+    # serving-style p50: single-request latency incl. the device->host sync
+    # (the InferenceServer path reuses this same compiled graph shape)
+    lats = []
+    for _ in range(5):
+        t1 = time.perf_counter()
+        float(step_sum(variables, dev_arrays))
+        lats.append(time.perf_counter() - t1)
+    lats.sort()
     clips_per_sec = (B * S) / dt
-    return clips_per_sec, dt
+    return clips_per_sec, dt, lats[len(lats) // 2]
 
 
 def measure_torch_baseline():
@@ -182,7 +190,7 @@ def measure_torch_baseline():
 
 
 def main():
-    ours, step_dt = bench_jmt_tpu()
+    ours, step_dt, p50_s = bench_jmt_tpu()
 
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
@@ -202,6 +210,8 @@ def main():
         "unit": "clips/sec",
         "vs_baseline": (round(ours / baseline, 2)
                         if baseline else None),
+        "p50_request_ms": round(p50_s * 1e3, 2),
+        "p50_ms_per_clip": round(p50_s * 1e3 / (B * S), 3),
     }
     print(json.dumps(result))
 

@@ -23,8 +23,8 @@ from typing import Optional, Sequence, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from jmt_tpu.ops.conv import (conv_nd, conv3d_s2d_hw, max_pool, avg_pool,
-                              tf_same_pads)
+from jmt_tpu.ops.conv import (conv_nd, conv3d_s2d_hw, conv3d_stem_upsample2x,
+                              max_pool, avg_pool, tf_same_pads)
 from jmt_tpu.ops.norm import TorchBatchNorm
 from jmt_tpu.ops.initializers import torch_linear_bias
 from jmt_tpu.models.tcn import TemporalConvNet
@@ -104,6 +104,18 @@ class Unit3D(nn.Module):
             y = conv3d_s2d_hw(x, k, pads)
         else:
             y = conv_nd(x, k, strides=self.strides, padding=pads)
+        return self.epilogue(y, use_running_average)
+
+    def upsampled2x(self, x: jnp.ndarray,
+                    use_running_average: bool = True) -> jnp.ndarray:
+        """EXACT `self(upsample2x_hw(x))` without materializing the 2x
+        tensor (ops/conv.conv3d_stem_upsample2x). Stem-only: requires
+        kernel (kt,7,7) and strides (1,2,2); output spatial size == input
+        spatial size (the composite's net stride is 1)."""
+        assert tuple(self.strides) == (1, 2, 2), self.strides
+        k = self._kernel(x.shape[-1])
+        t_pad = tf_same_pads((x.shape[1],), (self.kernel[0],), (1,))[0]
+        y = conv3d_stem_upsample2x(x, k, t_pad, compute_dtype=self.dtype)
         return self.epilogue(y, use_running_average)
 
 
@@ -192,13 +204,23 @@ class InceptionI3d(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool = True,
-                 features_only: bool = True) -> jnp.ndarray:
+                 features_only: bool = True,
+                 stem_upsample2x: bool = False) -> jnp.ndarray:
         """x: (B, T, H, W, 3). features_only -> avg-pooled features
         (B, T-1, 1, 1, 1024) squeezed to (B, T-1, 1024) by the caller via
-        extract-features semantics (pytorch_i3d_new.py:532-537)."""
-        h = Unit3D(64, 3, (7, 7, 7), (1, 2, 2), s2d_hw=True,
-                   dtype=self.dtype,
-                   name="Conv3d_1a_7x7")(x, use_running_average)
+        extract-features semantics (pytorch_i3d_new.py:532-537).
+
+        stem_upsample2x: treat x as the HALF-resolution input and compute
+        the stem as the exact fold of (2x bilinear upsample ∘ conv) — the
+        reference's resize_clips_for_i3d + Conv3d_1a_7x7 composite — so
+        the 2x tensor is never materialized (ops/conv.conv3d_stem_upsample2x).
+        """
+        stem = Unit3D(64, 3, (7, 7, 7), (1, 2, 2), s2d_hw=True,
+                      dtype=self.dtype, name="Conv3d_1a_7x7")
+        if stem_upsample2x:
+            h = stem.upsampled2x(x, use_running_average)
+        else:
+            h = stem(x, use_running_average)
         cin = 64
         for name, spec in _I3D_STAGES[1:]:
             if name.startswith("MaxPool"):
@@ -236,9 +258,11 @@ class I3DTCN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool = True,
-                 deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True,
+                 stem_upsample2x: bool = False) -> jnp.ndarray:
         feats = InceptionI3d(dtype=self.dtype, name="i3d")(
-            x, use_running_average, features_only=True)
+            x, use_running_average, features_only=True,
+            stem_upsample2x=stem_upsample2x)
         feats = feats.squeeze(3).squeeze(2)  # (B, T', 1024)
         temp = TemporalConvNet((512, 512, 512, 512), kernel_size=5,
                                dropout=0.1, dtype=self.dtype,

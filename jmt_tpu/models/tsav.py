@@ -70,7 +70,7 @@ class TwoStreamBackbones(nn.Module):
             # mode flags must be STATIC and passed POSITIONALLY at the call
             # sites below
             VR = nn.remat(VideoResNet, static_argnums=(2, 3))
-            I3 = nn.remat(I3DTCN, static_argnums=(2, 3))
+            I3 = nn.remat(I3DTCN, static_argnums=(2, 3, 4))
             RN = nn.remat(ResNet18, static_argnums=(2,))
         if "R2D1" in self.vision_backbones:
             self.vision_r2d1 = VR(arch=self.r2d1_arch, dtype=self.dtype)
@@ -123,9 +123,18 @@ class TwoStreamBackbones(nn.Module):
         if "I3D" in self.vision_backbones:
             b, s = clips.shape[:2]
             flat = clips.reshape(b * s, *clips.shape[2:])
-            resized = resize_clips_for_i3d(flat, self.i3d_input_size)
-            tfeat = self.vision_i3d(resized, ura("I3D"),
-                                    deterministic)  # (N, T', 512)
+            if (self.i3d_input_size == 2 * flat.shape[2]
+                    and self.i3d_input_size == 2 * flat.shape[3]):
+                # exact fold of the 2x upsample into the stem conv: never
+                # materializes the 224² tensor, 1.96x fewer stem MACs
+                # (ops/conv.conv3d_stem_upsample2x); positional args so
+                # nn.remat's static_argnums see the mode flags
+                tfeat = self.vision_i3d(flat, ura("I3D"), deterministic,
+                                        True)  # (N, T', 512)
+            else:
+                resized = resize_clips_for_i3d(flat, self.i3d_input_size)
+                tfeat = self.vision_i3d(resized, ura("I3D"),
+                                        deterministic, False)  # (N, T', 512)
             f = jnp.max(tfeat, axis=1)  # max over time (tsav.py:216)
             feats["vision_i3d"] = f.reshape(b, s, 512)
 

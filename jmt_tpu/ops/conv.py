@@ -111,6 +111,117 @@ def np_like_zeros(ref: jnp.ndarray, shape) -> jnp.ndarray:
     return jnp.zeros(shape, ref.dtype)
 
 
+# Fold matrix for (2x bilinear half-pixel upsample) ∘ (7-tap stride-2 conv):
+# output j of the composite reads upsampled positions u = 2j-2+t (TF-SAME
+# pad (2,3) on the 2n grid); each u is a 2-tap combo of the edge-clamped
+# input, so the 7 taps collapse onto 5 original-grid taps x̂[j-1+d] with
+# weights w5[d] = sum_t FOLD[d,t]·w7[t] — single phase because the stride-2
+# sampling preserves parity.
+_UPSAMPLE2X_FOLD = np.zeros((5, 7))
+_UPSAMPLE2X_FOLD[0, 0] = .25
+_UPSAMPLE2X_FOLD[1, 0] = .75
+_UPSAMPLE2X_FOLD[1, 1] = .75
+_UPSAMPLE2X_FOLD[1, 2] = .25
+_UPSAMPLE2X_FOLD[2, 1] = .25
+_UPSAMPLE2X_FOLD[2, 2] = .75
+_UPSAMPLE2X_FOLD[2, 3] = .75
+_UPSAMPLE2X_FOLD[2, 4] = .25
+_UPSAMPLE2X_FOLD[3, 3] = .25
+_UPSAMPLE2X_FOLD[3, 4] = .75
+_UPSAMPLE2X_FOLD[3, 5] = .75
+_UPSAMPLE2X_FOLD[3, 6] = .25
+_UPSAMPLE2X_FOLD[4, 5] = .25
+_UPSAMPLE2X_FOLD[4, 6] = .75
+
+# Conv zero-padding on the 2n grid makes taps with u<0 or u>2n-1 vanish;
+# the folded conv (over the replicate+zero extended x̂) still includes
+# them, so border outputs need a correction. At each affected output index
+# the surviving extended-x̂ combos all collapse to multiples of the edge
+# pixel; ALPHA maps border output -> per-tap coefficient on that pixel.
+# Affected: j=0 (taps t=0,1), j=n-2 (t=6), j=n-1 (t=4,5,6).
+_UPSAMPLE2X_ALPHA = {
+    "lo": np.array([.75, 1., 0., 0., 0., 0., 0.]),       # j = 0
+    "hi1": np.array([0., 0., 0., 0., 0., 0., 1.]),       # j = n-2
+    "hi0": np.array([0., 0., 0., 0., 1., .75, .25]),     # j = n-1
+}
+
+
+def conv3d_stem_upsample2x(x: jnp.ndarray, kernel: jnp.ndarray,
+                           t_pad: Tuple[int, int],
+                           compute_dtype: Optional[jnp.dtype] = None
+                           ) -> jnp.ndarray:
+    """EXACT fold of the I3D input upsample into the stem conv.
+
+    Computes `conv7x7x7_tf_same_stride_(1,2,2)(upsample2x_hw(x))` — the
+    reference's resize_clips_for_i3d (utils/utils.py:293-300, trilinear
+    align_corners=False == per-frame bilinear half-pixel 2x) feeding
+    Conv3d_1a_7x7 (pytorch_i3d_new.py:247-537 stage table) — WITHOUT
+    materializing the 2x tensor, as one stride-1 conv with a 7x5x5 kernel
+    on the original grid (1.96x fewer MACs: 7·5·5 vs 7·7·7 window taps)
+    plus O(border) corrections. Exact in exact arithmetic (golden-tested
+    at f64 to ~1e-13 against upsample+conv).
+
+    Derivation: upsampled u=2m is .25·x̂[m]+.75·x̂[m+1] and u=2m+1 is
+    .75·x̂[m+1]+.25·x̂[m+2] over the edge-clamped x̂ (x̂[p]=x[clip(p-1)]),
+    so the 7 stride-2 taps fold to the single-phase 5-tap _UPSAMPLE2X_FOLD
+    kernel; conv zero-pad outside the 2n grid is restored by
+    inclusion-exclusion row/col/corner corrections (_UPSAMPLE2X_ALPHA).
+
+    x: (N, T, H, W, Ci); kernel: (kt, 7, 7, Ci, Co) — the UNFOLDED stem
+    kernel (param/checkpoint layout unchanged); t_pad: TF-SAME pads for the
+    T dim (stride 1). Returns (N, T', H, W, Co) — the composite output at
+    the ORIGINAL spatial size (2H/2 = H).
+    """
+    kt, kh, kw, ci, co = kernel.shape
+    assert (kh, kw) == (7, 7), (kh, kw)
+    n, t, h, w, _ = x.shape
+    assert h >= 4 and w >= 4, (h, w)  # border sets {0, n-2, n-1} distinct
+    M = jnp.asarray(_UPSAMPLE2X_FOLD, kernel.dtype)
+    k5 = jnp.einsum("ah,bw,thwio->tabio", M, M, kernel)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        k5 = k5.astype(compute_dtype)
+    # x̂ extended: replicate 1 (upsample edge clamp) then zero 1 (conv pad)
+    xr = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    xz = jnp.pad(xr, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+    out = conv_nd(xz, k5, strides=(1, 1, 1),
+                  padding=(t_pad, (0, 0), (0, 0)))
+
+    alphas = {0: _UPSAMPLE2X_ALPHA["lo"], h - 2: _UPSAMPLE2X_ALPHA["hi1"],
+              h - 1: _UPSAMPLE2X_ALPHA["hi0"]}
+    walphas = {0: _UPSAMPLE2X_ALPHA["lo"], w - 2: _UPSAMPLE2X_ALPHA["hi1"],
+               w - 1: _UPSAMPLE2X_ALPHA["hi0"]}
+    border_row = {0: 0, h - 2: h - 1, h - 1: h - 1}
+    border_col = {0: 0, w - 2: w - 1, w - 1: w - 1}
+
+    def cast(kc):
+        return kc.astype(compute_dtype) if compute_dtype is not None else kc
+
+    # subtract the folded conv's phantom contributions on border rows/cols
+    for jh, av in alphas.items():
+        krow = cast(jnp.einsum("h,bw,thwio->tbio", jnp.asarray(av, M.dtype),
+                               M, kernel))
+        row = xz[:, :, border_row[jh] + 2, :, :]  # (N, T, W+4, Ci)
+        e = conv_nd(row, krow, strides=(1, 1), padding=(t_pad, (0, 0)))
+        out = out.at[:, :, jh, :, :].add(-e)
+    for jw, av in walphas.items():
+        kcol = cast(jnp.einsum("w,ah,thwio->taio", jnp.asarray(av, M.dtype),
+                               M, kernel))
+        col = xz[:, :, :, border_col[jw] + 2, :]
+        e = conv_nd(col, kcol, strides=(1, 1), padding=(t_pad, (0, 0)))
+        out = out.at[:, :, :, jw, :].add(-e)
+    # corners were subtracted twice — add back once
+    for jh, ah in alphas.items():
+        for jw, aw in walphas.items():
+            kc = cast(jnp.einsum("h,w,thwio->tio",
+                                 jnp.asarray(ah, M.dtype),
+                                 jnp.asarray(aw, M.dtype), kernel))
+            px = x[:, :, border_row[jh], border_col[jw], :]  # (N, T, Ci)
+            e = conv_nd(px, kc, strides=(1,), padding=(t_pad,))
+            out = out.at[:, :, jh, jw, :].add(e)
+    return out
+
+
 def max_pool(x: jnp.ndarray, window: Sequence[int], strides: Sequence[int],
              padding) -> jnp.ndarray:
     """Channels-last max pool over the spatial dims."""

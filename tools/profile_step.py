@@ -86,6 +86,13 @@ def main(b=8, s=16, iters=8):
                                      iters=iters) * 1e3
 
     @jax.jit
+    def i3d_fused(v, x):
+        return i3d.apply(v, x, True, True, True).sum()
+
+    results["i3d_fused_ms"] = timeit(i3d_fused, i3d_vars, flat,
+                                     iters=iters) * 1e3
+
+    @jax.jit
     def upsample_only(x):
         return resize_clips_for_i3d(x).sum()
 
@@ -107,6 +114,13 @@ def main(b=8, s=16, iters=8):
 
     results["i3d_stem224_ms"] = timeit(stem_only, stem_vars, x224,
                                        iters=iters) * 1e3
+
+    @jax.jit
+    def stem_fused(v, x):
+        return stem.apply(v, x, True, method=Unit3D.upsampled2x).sum()
+
+    results["i3d_stem_fused_ms"] = timeit(stem_fused, stem_vars, flat,
+                                          iters=iters) * 1e3
 
     r2d1_vars = {"params": variables["params"]["backbones"]["vision_r2d1"],
                  "batch_stats":
