@@ -27,8 +27,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, ".bench_baseline.json")
 
 B, S = 8, 16  # batch x clips-per-window: 128 clips/step (measured best
-# throughput on v5e-1: B=4 -> 582 clips/s, B=8 -> 723; B=16 would blow HBM
-# on the I3D stem activations)
+# throughput on v5e-1: B=4 -> 582 clips/s, B=8 -> 723 (round 1) / 842 with
+# the fused I3D stem (round 2); B=12 and B=16 OOM on the I3D stem-output
+# activations even with the 224² input tensor folded away)
 N_WARMUP = 2
 N_ITERS = 8
 

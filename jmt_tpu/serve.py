@@ -144,6 +144,65 @@ class InferenceServer:
                    runner.state.batch_stats, buckets=buckets)
 
 
+class StreamingSession:
+    """Online per-video inference: the serving-side equivalent of the
+    offline validate()/Test() tail (reference val.py:313-370, test.py:
+    300-349), but incremental — eval windows stream in (in dataset order,
+    the same contract the reference enforces at val.py:320-325), each
+    window batch runs through the AOT-compiled server immediately, and a
+    video's stitched + clipped + smoothed V/A trace is available the moment
+    its last window arrives. Nothing recompiles at request time.
+
+    Usage:
+        sess = StreamingSession(server)
+        for arrays, anchors, videos, lengths in window_stream:
+            sess.feed(arrays["clips"], arrays["audio"], arrays.get("wavlm"),
+                      anchors, videos, lengths)
+        v_trace, a_trace = sess.finish_video(video_id)
+        # or sess.finish_all() -> {vid: (v, a)}
+    """
+
+    def __init__(self, server: InferenceServer,
+                 v_smooth: int = 20, a_smooth: int = 50):
+        from jmt_tpu.eval.stitch import Stitcher
+        self.server = server
+        self.stitcher = Stitcher(with_labels=False)
+        self.v_smooth = v_smooth
+        self.a_smooth = a_smooth
+
+    def feed(self, clips: np.ndarray, audio: np.ndarray,
+             wavlm: Optional[np.ndarray], anchors: np.ndarray,
+             videos: Sequence[str], lengths: Sequence[int]
+             ) -> Tuple[np.ndarray, np.ndarray]:
+        """Run one batch of eval windows; scatter predictions into the
+        per-video traces. Returns the raw (un-smoothed) (B,S) outputs."""
+        v, a = self.server.predict(clips, audio, wavlm)
+        self.stitcher.add_batch(v, a, np.asarray(anchors),
+                                list(videos), list(lengths))
+        return v, a
+
+    def finish_video(self, vid: str) -> Tuple[np.ndarray, np.ndarray]:
+        """Clip to [-1,1] + uniform smoothing (val.py:359-370) for one
+        completed video."""
+        from jmt_tpu.ops.smoothing import uniform_filter1d
+        cv = np.clip(self.stitcher.pred_v[vid], -1.0, 1.0)
+        ca = np.clip(self.stitcher.pred_a[vid], -1.0, 1.0)
+        return (np.asarray(uniform_filter1d(jnp.asarray(cv),
+                                            self.v_smooth)),
+                np.asarray(uniform_filter1d(jnp.asarray(ca),
+                                            self.a_smooth)))
+
+    def finish_all(self) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+        return {vid: self.finish_video(vid)
+                for vid in self.stitcher.pred_v}
+
+    def write_challenge(self, dir_out: str) -> Sequence[str]:
+        """Challenge-format txt files for every streamed video
+        (test.py:322-349 format parity via eval.stitch)."""
+        from jmt_tpu.eval.stitch import write_challenge_txt
+        return write_challenge_txt(self.stitcher, dir_out)
+
+
 def measure_latency(server: InferenceServer, bucket: int,
                     iters: int = 16, warmup: int = 2) -> Dict[str, float]:
     """p50/p90 request latency per bucket. True device sync via a scalar
