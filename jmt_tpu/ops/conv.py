@@ -224,14 +224,28 @@ def conv3d_stem_upsample2x(x: jnp.ndarray, kernel: jnp.ndarray,
 
 def max_pool(x: jnp.ndarray, window: Sequence[int], strides: Sequence[int],
              padding) -> jnp.ndarray:
-    """Channels-last max pool over the spatial dims."""
+    """Channels-last max pool over the spatial dims.
+
+    Lowering note (v5e-1 measurements, 128-clip tensors): max is
+    associative, so the window separates EXACTLY into per-dim maxima of
+    shifted slices — and in ISOLATION that form is 3.2x faster than
+    reduce_window for the stride-1 inception b3 pools (7.1 vs 22.3 ms on
+    (128,8,14,14,512) bf16). But IN CONTEXT (inside the fused inception
+    module graphs) the slice form loses ~10 ms per flagship step — XLA
+    fuses reduce_window with the surrounding convs/concat better than the
+    pad+slice chain — and for strided windows the slice form is 3-8x
+    slower outright (stride-2 slice reads). Measured full-model: rw 151.9
+    ms, slice-hybrid 161.7, slice-everywhere 308. So: reduce_window,
+    unconditionally. Kept as the single pool entry point so the
+    experiment is one edit to redo (tools history: /tmp/pool_bench.py).
+    """
     n_spatial = x.ndim - 2
     window = (1,) + tuple(window) + (1,)
     strides = (1,) + tuple(strides) + (1,)
     if isinstance(padding, str):
         pads = padding
     else:
-        pads = ((0, 0),) + tuple(padding) + ((0, 0),)
+        pads = ((0, 0),) + tuple(tuple(p) for p in padding) + ((0, 0),)
     neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else (
         jnp.iinfo(x.dtype).min)
     return jax.lax.reduce_window(x, neg_inf, jax.lax.max, window, strides,

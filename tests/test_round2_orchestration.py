@@ -224,6 +224,34 @@ def test_inference_server_buckets_and_padding():
     assert np.isfinite(v).all()
 
 
+def test_separable_max_pool_exact_vs_reduce_window():
+    """ops.conv.max_pool decomposes the window into per-dim maxima (the
+    I3D pool perf fix) — must be BIT-identical to lax.reduce_window for
+    every pool config the models use."""
+    from jax import lax
+    from jmt_tpu.ops.conv import max_pool, tf_same_pads
+
+    rng = np.random.default_rng(0)
+    cases = [
+        ((2, 8, 14, 14, 32), (3, 3, 3), (1, 1, 1)),   # inception b3
+        ((2, 8, 15, 15, 8), (3, 3, 3), (1, 2, 2)),    # MaxPool3d_4a
+        ((2, 8, 14, 14, 8), (2, 2, 2), (1, 2, 2)),    # MaxPool3d_5a
+        ((2, 7, 13, 13, 8), (1, 3, 3), (1, 2, 2)),    # MaxPool3d_2a/3a
+        ((2, 9, 11, 5), (3, 3), (2, 2)),               # audio ResNet-18
+    ]
+    for shape, win, strd in cases:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        nsp = x.ndim - 2
+        pads = tf_same_pads(x.shape[1:1 + nsp], win, strd)
+        ours = max_pool(x, win, strd, pads)
+        ref = lax.reduce_window(
+            x, -jnp.inf, lax.max, (1,) + tuple(win) + (1,),
+            (1,) + tuple(strd) + (1,),
+            ((0, 0),) + tuple(pads) + ((0, 0),))
+        assert ours.shape == ref.shape
+        np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+
 def test_streaming_session_matches_offline_stitch(tmp_path):
     """serve.StreamingSession: windows streamed one batch at a time produce
     the SAME smoothed traces as an offline Stitcher pass, and the challenge
