@@ -44,7 +44,7 @@ def make_host_batch(b=B, s=S, seed=0):
     }
 
 
-def bench_jmt_tpu():
+def bench_jmt_tpu(i3d_input_size=224):
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, REPO)
@@ -56,7 +56,8 @@ def bench_jmt_tpu():
         audio_backbones=("ResNet18", "wavLM"),
         intra_modal_fusion="encoder_plus_self_attention",
         joint_modalities="TRANSFORMER", output_format="SELF_ATTEN",
-        num_heads=1, num_layers=1, dtype=jnp.bfloat16)
+        num_heads=1, num_layers=1, i3d_input_size=i3d_input_size,
+        dtype=jnp.bfloat16)
 
     arrays = make_host_batch()
     spec, clips = _preprocess(model, arrays, None, augment=False)
@@ -193,6 +194,14 @@ def measure_torch_baseline():
 def main():
     ours, step_dt, p50_s = bench_jmt_tpu()
 
+    # opt-in secondary metric: the native-112 I3D config (exact same
+    # pipeline minus the information-free 112->224 upsample; NOT
+    # reference-parity — see PARITY.md/STATUS.md; measured 1777 clips/s
+    # vs 842 parity on v5e-1). Extra heavy compile, so flag-gated.
+    native112 = None
+    if "--native112" in sys.argv:
+        native112, _, _ = bench_jmt_tpu(i3d_input_size=112)
+
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             baseline = json.load(f)["torch_cpu_clips_per_sec"]
@@ -214,6 +223,8 @@ def main():
         "p50_request_ms": round(p50_s * 1e3, 2),
         "p50_ms_per_clip": round(p50_s * 1e3 / (B * S), 3),
     }
+    if native112 is not None:
+        result["native112_clips_per_sec"] = round(native112, 2)
     print(json.dumps(result))
 
 
