@@ -235,6 +235,10 @@ class Config:
     # TPU additions -----------------------------------------------------
     # device mesh spec: number of data-parallel shards; -1 = all devices.
     mesh_data_parallel: int = -1
+    # multi-slice: number of slices (outer DCN mesh axis); batch shards
+    # over (dcn x data) jointly, XLA reduces gradients hierarchically
+    # (ICI within a slice, DCN across slices). 1 = single slice.
+    mesh_dcn: int = 1
     # observability: write a jax.profiler trace of a few train steps of
     # `profile_epoch` into profile_dir (the reference has no tracing at all,
     # SURVEY.md §5.1 — only coarse epoch wall-clocks)

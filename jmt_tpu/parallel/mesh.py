@@ -12,8 +12,14 @@ A second ``model`` axis is accepted for future tensor-parallel sharding of
 the fusion stack; at this model scale (<100M params) data parallel is the
 right mapping and the model axis defaults to 1.
 
-Multi-slice note: pass devices ordered so the data axis rides ICI within a
-slice; a DCN axis would be an outer mesh dim — not needed at this scale.
+Multi-slice: ``make_mesh(n_dcn=...)`` builds a hybrid (dcn, data) mesh —
+the outer axis spans slices over DCN, the inner axis rides ICI within a
+slice. The batch is sharded over BOTH axes jointly, so XLA emits the
+gradient all-reduce hierarchically (reduce-scatter/all-gather on ICI,
+small cross-slice all-reduce on DCN). On real multi-slice hardware the
+device grid comes from mesh_utils.create_hybrid_device_mesh (slice-aware
+placement); on flat single-slice/fake device sets it falls back to a
+reshape, which keeps the same program semantics.
 """
 from __future__ import annotations
 
@@ -25,17 +31,32 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_data: int = -1, devices: Optional[Sequence] = None) -> Mesh:
-    """1-D data-parallel mesh; n_data=-1 uses all devices."""
+def make_mesh(n_data: int = -1, devices: Optional[Sequence] = None,
+              n_dcn: int = 1) -> Mesh:
+    """Data-parallel mesh; n_data=-1 uses all (remaining) devices.
+
+    n_dcn > 1 -> hybrid (dcn, data) mesh with n_dcn slices of n_data
+    devices each.
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_data == -1:
-        n_data = len(devices)
-    assert n_data <= len(devices), (n_data, len(devices))
-    return Mesh(np.array(devices[:n_data]), axis_names=("data",))
+        n_data = len(devices) // max(n_dcn, 1)
+    assert n_dcn * n_data <= len(devices), (n_dcn, n_data, len(devices))
+    if n_dcn <= 1:
+        return Mesh(np.array(devices[:n_data]), axis_names=("data",))
+    try:  # slice-aware placement on real multi-slice hardware
+        from jax.experimental import mesh_utils
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (1, n_data), (n_dcn, 1), devices=devices[:n_dcn * n_data])
+    except Exception:  # flat/fake device sets: contiguous groups per slice
+        grid = np.array(devices[:n_dcn * n_data]).reshape(n_dcn, n_data)
+    return Mesh(grid, axis_names=("dcn", "data"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading axis sharded over the data axis."""
+    """Leading axis sharded over all mesh axes (dcn outer, data inner)."""
+    if "dcn" in mesh.axis_names:
+        return NamedSharding(mesh, P(("dcn", "data")))
     return NamedSharding(mesh, P("data"))
 
 

@@ -157,3 +157,46 @@ def test_graft_entry_single_chip():
     v, a = out
     assert v.shape == (1, 4)
     assert np.isfinite(np.asarray(v, dtype=np.float32)).all()
+
+
+def test_hybrid_mesh_shapes_and_sharding():
+    """make_mesh(n_dcn=2): (dcn, data) grid, batch sharded over both axes,
+    replicated spec unchanged."""
+    from jmt_tpu.parallel.mesh import batch_sharding, replicated_sharding
+    mesh = make_mesh(4, n_dcn=2)
+    assert mesh.axis_names == ("dcn", "data")
+    assert mesh.devices.shape == (2, 4)
+    sh = batch_sharding(mesh)
+    assert sh.spec == P(("dcn", "data"))
+    assert replicated_sharding(mesh).spec == P()
+    # n_data=-1 divides the device pool across slices
+    mesh2 = make_mesh(-1, n_dcn=2)
+    assert mesh2.devices.shape == (2, len(jax.devices()) // 2)
+
+
+@pytest.mark.slow
+def test_hybrid_dcn_mesh_matches_single_device():
+    """2-slice x 4-device hybrid mesh (batch sharded over dcn AND data,
+    hierarchical gradient all-reduce) == single-device numerics."""
+    from jmt_tpu.models.jmt_model import model_from_config
+    cfg = tiny_cfg()
+    model = model_from_config(cfg)
+    tx = O.build_optimizer(cfg.model_params.opt)
+    arrays = tiny_arrays()
+    state = init_state(model, cfg, jax.random.PRNGKey(0), arrays, tx)
+    step = make_train_step(model, tx)
+    key = jax.random.PRNGKey(1)
+
+    s1, l1, v1, a1 = step(jax.tree.map(jnp.array, state),
+                          jax.tree.map(jnp.array, arrays), key)
+
+    mesh = make_mesh(4, n_dcn=2)
+    st = jax.device_put(state, NamedSharding(mesh, P()))
+    arr = shard_batch(mesh, arrays)
+    s8, l8, v8, a8 = step(st, arr, key)
+
+    assert float(l1) == pytest.approx(float(l8), abs=2e-5)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v8), atol=2e-4)
+    for x, y in zip(jax.tree.leaves(s1.trainable),
+                    jax.tree.leaves(s8.trainable)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=2e-4)
