@@ -150,8 +150,13 @@ class WindowedDataset:
         # native batched decode only makes sense with the default file
         # loaders (synthetic/test loaders stay pluggable)
         if use_native is None:
+            # measured (tools/ingest_bench.py): on a SINGLE-core host the
+            # pthread decode pool loses to the sequential PIL path
+            # (443 vs 521 clips/s — pool contention with the prefetch
+            # producer thread); native pays off only with cores to spare
             use_native = (frame_loader is default_frame_loader
-                          and audio_loader is load_wav)
+                          and audio_loader is load_wav
+                          and (os.cpu_count() or 1) >= 2)
         if use_native:
             from jmt_tpu.data import native as _native
             use_native = _native.available()
