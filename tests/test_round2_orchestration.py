@@ -225,9 +225,12 @@ def test_inference_server_buckets_and_padding():
 
 
 def test_separable_max_pool_exact_vs_reduce_window():
-    """ops.conv.max_pool decomposes the window into per-dim maxima (the
-    I3D pool perf fix) — must be BIT-identical to lax.reduce_window for
-    every pool config the models use."""
+    """Pins the exactness property behind the round-2 pool-lowering
+    experiments (STATUS.md): a max window separates into per-dim maxima
+    of shifted slices, BIT-identical to lax.reduce_window for every pool
+    config the models use. max_pool itself ships the reduce_window
+    lowering (fastest in fused context); this guards any future retry of
+    the slice form."""
     from jax import lax
     from jmt_tpu.ops.conv import max_pool, tf_same_pads
 
