@@ -30,16 +30,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROOT = "/tmp/jmt_ingest_tree"
 
 
-def generate_tree(n_videos=2, length=481, fps=30.0, seed=0):
+def generate_tree(n_videos=2, length=481, fps=30.0, seed=0,
+                  root=ROOT):
     from PIL import Image
 
     rng = np.random.default_rng(seed)
-    labels = os.path.join(ROOT, "labels")
-    ts_dir = os.path.join(ROOT, "timestamps")
-    wavs = os.path.join(ROOT, "wavs")
-    frames = os.path.join(ROOT, "frames")
-    if os.path.isdir(ROOT):
-        shutil.rmtree(ROOT)
+    labels = os.path.join(root, "labels")
+    ts_dir = os.path.join(root, "timestamps")
+    wavs = os.path.join(root, "wavs")
+    frames = os.path.join(root, "frames")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
     for d in (labels, ts_dir, wavs, frames):
         os.makedirs(d)
     wav_len = int(round(32 / fps * 44100))  # one 32-frame chunk of audio
