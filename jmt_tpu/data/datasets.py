@@ -154,9 +154,17 @@ class WindowedDataset:
             # pthread decode pool loses to the sequential PIL path
             # (443 vs 521 clips/s — pool contention with the prefetch
             # producer thread); native pays off only with cores to spare
+            # count cores actually AVAILABLE to this process (cgroup /
+            # affinity limits), not the host total — in a 1-core container
+            # on a big host the pool would otherwise be chosen in exactly
+            # the regime where it loses
+            try:
+                avail = len(os.sched_getaffinity(0))
+            except (AttributeError, OSError):
+                avail = os.cpu_count() or 1
             use_native = (frame_loader is default_frame_loader
                           and audio_loader is load_wav
-                          and (os.cpu_count() or 1) >= 2)
+                          and avail >= 2)
         if use_native:
             from jmt_tpu.data import native as _native
             use_native = _native.available()

@@ -38,6 +38,11 @@ class Stitcher:
         # (overlapping windows overwrite — last write wins, so order
         # changes results); tracks the last seen anchor per video
         self._last_anchor: Dict[str, int] = {}
+        # completeness: highest in-range anchor written per video; the eval
+        # windowing covers every frame 1..length, so a video is complete
+        # exactly when this reaches its length
+        self.lengths: Dict[str, int] = {}
+        self._max_anchor: Dict[str, int] = {}
 
     def add_batch(self, vouts: np.ndarray, aouts: np.ndarray,
                   anchors: np.ndarray, videos: Sequence[str],
@@ -65,6 +70,8 @@ class Stitcher:
                 self.pred_a[vid] = np.zeros(length)
                 self.label_v[vid] = np.zeros(length)
                 self.label_a[vid] = np.zeros(length)
+                self.lengths[vid] = length
+                self._max_anchor[vid] = 0
             elif first < self._last_anchor.get(vid, 0):
                 # overlapping windows are written last-wins (like the
                 # reference's sequential loop) — a shuffled/parallel eval
@@ -78,6 +85,8 @@ class Stitcher:
                 fid = int(anchors[i][j])
                 if fid > length:
                     continue
+                if fid > self._max_anchor[vid]:
+                    self._max_anchor[vid] = fid
                 if self.with_labels:
                     lv = float(labels_v[i][j])
                     la = float(labels_a[i][j])
@@ -89,6 +98,12 @@ class Stitcher:
                     self.label_a[vid][fid - 1] = la
                 self.pred_v[vid][fid - 1] = float(vouts[i][j])
                 self.pred_a[vid][fid - 1] = float(aouts[i][j])
+
+    def is_complete(self, vid: str) -> bool:
+        """True once every frame of `vid` has been written (the eval
+        windowing emits every anchor 1..length, so the highest in-range
+        anchor reaching length means full coverage)."""
+        return self._max_anchor.get(vid, 0) >= self.lengths.get(vid, -1)
 
     def smoothed(self, v_size: int = 20, a_size: int = 50
                  ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:

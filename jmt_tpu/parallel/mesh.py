@@ -48,7 +48,17 @@ def make_mesh(n_data: int = -1, devices: Optional[Sequence] = None,
         from jax.experimental import mesh_utils
         grid = mesh_utils.create_hybrid_device_mesh(
             (1, n_data), (n_dcn, 1), devices=devices[:n_dcn * n_data])
-    except Exception:  # flat/fake device sets: contiguous groups per slice
+    except (ImportError, ValueError, AssertionError) as e:
+        # Flat/fake device sets (CPU mesh, single slice) legitimately lack
+        # slice topology — fall back to contiguous groups per slice. On real
+        # multi-slice hardware this fallback would place the dcn axis
+        # arbitrarily across ICI/DCN, so make the degradation visible.
+        import warnings
+        warnings.warn(
+            f"create_hybrid_device_mesh failed ({type(e).__name__}: {e}); "
+            f"falling back to a contiguous reshape — fine for fake/CPU "
+            f"devices, but on real multi-slice pods check slice topology",
+            RuntimeWarning, stacklevel=2)
         grid = np.array(devices[:n_dcn * n_data]).reshape(n_dcn, n_data)
     return Mesh(grid, axis_names=("dcn", "data"))
 

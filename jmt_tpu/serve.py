@@ -183,8 +183,17 @@ class StreamingSession:
 
     def finish_video(self, vid: str) -> Tuple[np.ndarray, np.ndarray]:
         """Clip to [-1,1] + uniform smoothing (val.py:359-370) for one
-        completed video."""
+        completed video. Raises if the video's last window has not been
+        fed yet (otherwise unseen frames would silently read as zeros)."""
         from jmt_tpu.ops.smoothing import uniform_filter1d
+        if vid not in self.stitcher.pred_v:
+            raise KeyError(f"unknown video {vid!r}: no windows fed yet")
+        if not self.stitcher.is_complete(vid):
+            raise ValueError(
+                f"video {vid!r} is incomplete: frames beyond anchor "
+                f"{self.stitcher._max_anchor.get(vid, 0)} of "
+                f"{self.stitcher.lengths.get(vid)} not yet fed — feed the "
+                f"remaining windows before finish_video")
         cv = np.clip(self.stitcher.pred_v[vid], -1.0, 1.0)
         ca = np.clip(self.stitcher.pred_a[vid], -1.0, 1.0)
         return (np.asarray(uniform_filter1d(jnp.asarray(cv),

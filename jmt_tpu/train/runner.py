@@ -85,8 +85,7 @@ class Runner:
         self._best_snapshot = None
         # the production data-parallel mesh (cfg.mesh_data_parallel; the
         # reference applies its DP wrapper in the run path, main.py:304-306)
-        self.mesh = make_mesh(cfg.mesh_data_parallel,
-                              n_dcn=getattr(cfg, "mesh_dcn", 1))
+        self.mesh = make_mesh(cfg.mesh_data_parallel, n_dcn=cfg.mesh_dcn)
 
     # ------------------------------------------------------------------
     def _first_batch_arrays(self):
