@@ -67,6 +67,32 @@ _FILES = {
         os.path.join("I3D_OUR_AffWild2", "SavedWeights", "vision_i3d.pt")],
 }
 
+_COMPONENT_OF = {"R2D1": "vision_r2d1", "ResNet18": "audio_resnet18",
+                 "I3D": "vision_i3d"}
+
+
+def _our_affwild2_candidates(backbone: str):
+    """OUR_AFFWILD2 sources: a jmt_tpu PRETRAINING run's own component
+    export (``SavedWeights/{component}.msgpack``) closes the reference's
+    pretrain->flagship self-loop (main.py:270-302) natively; reference
+    ``.pt`` layouts remain accepted. ``pretrained_weights_dir`` may point
+    at a weights root holding ``{Backbone}_OUR_AffWild2`` experiment dirs
+    (reference convention) or directly at the experiment dir itself."""
+    comp = _COMPONENT_OF[backbone]
+    exp = f"{backbone}_OUR_AffWild2"
+    return [
+        os.path.join(exp, "SavedWeights", comp + ".msgpack"),
+        os.path.join(exp, "SavedWeights", comp + ".pt"),
+        os.path.join("SavedWeights", comp + ".msgpack"),
+        os.path.join("SavedWeights", comp + ".pt"),
+        comp + ".msgpack",
+        comp + ".pt",
+    ]
+
+
+for _bb in _COMPONENT_OF:
+    _FILES[(_bb, "OUR_AFFWILD2")] = _our_affwild2_candidates(_bb)
+
 
 def resolve_path(root: str, backbone: str, source: str) -> str:
     cands = _FILES[(backbone, source)]
@@ -194,14 +220,18 @@ def apply_pretrained(cfg, params: Params, batch_stats: Params
     errors: List[str] = []
     for backbone, source, comp in plan:
         path = resolve_path(root, backbone, source)
-        sd = _load_sd(path)
         sub = ()
-        if backbone == "R2D1":
-            tree = r2d1_vars_from_sd(sd)
+        if path.endswith(".msgpack"):
+            # a jmt_tpu component export — already flax layout, no torch
+            # conversion; the self-loop pretrain-here -> init-here
+            from jmt_tpu.core.checkpoint import load_component
+            tree = load_component(path)
+        elif backbone == "R2D1":
+            tree = r2d1_vars_from_sd(_load_sd(path))
         elif backbone == "ResNet18":
-            tree = resnet18_vars_from_sd(sd, source)
+            tree = resnet18_vars_from_sd(_load_sd(path), source)
         else:
-            tree, sub = i3d_vars_from_sd(sd, source)
+            tree, sub = i3d_vars_from_sd(_load_sd(path), source)
         base = ("backbones", comp) + sub
         graft_subtree(params, tree["params"], base, errors, f"{comp}[{source}]")
         if tree.get("batch_stats"):
