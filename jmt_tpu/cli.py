@@ -64,6 +64,11 @@ def parse_args(argv=None):
                         "(defaults to <exp-dir>/SavedWeights; point it at a "
                         "reference SavedWeights dir to evaluate a "
                         "reference-trained model)")
+    p.add_argument("--export-pt", default=None, metavar="WEIGHTS_DIR",
+                   help="convert a SavedWeights dir of .msgpack components "
+                        "to reference-format .pt state dicts (reverse "
+                        "interop: the reference stack can then evaluate a "
+                        "jmt_tpu-trained model, main.py:508-609) and exit")
     return p.parse_args(argv)
 
 
@@ -141,6 +146,11 @@ def make_datasets(cfg: Config, synthetic: str = None):
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+    if args.export_pt:
+        from jmt_tpu.models.torch_export import export_reference_pt
+        written = export_reference_pt(args.export_pt)
+        print(json.dumps({"exported": sorted(written)}))
+        return 0
     cfg = build_config(args)
     exp = ExperimentDir(cfg)
     init_logger(exp.path if cfg.Mode == "Training" or args.exp_dir

@@ -1,0 +1,180 @@
+"""Reverse interop: flax trees -> reference-format .pt state dicts.
+
+Two guarantees (models/torch_export.py):
+  1. round-trip: torch_io.forward(torch_export.inverse(tree)) == tree,
+     exactly (pure permutations) — for every SavedWeights component;
+  2. reference consumability: the exported sd loads into the REAL reference
+     torch module with load_state_dict(strict=True) (after dead-submodule
+     completion) and the torch forward matches our flax forward — the
+     reference stack can evaluate a jmt_tpu-trained model
+     (main.py:508-609 consumer).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from jmt_tpu.models import torch_export as tex
+from jmt_tpu.models import torch_io as tio
+
+
+def tree_eq(a, b, path=""):
+    assert set(a) == set(b), (path, set(a) ^ set(b))
+    for k in a:
+        if isinstance(a[k], dict):
+            tree_eq(a[k], b[k], f"{path}/{k}")
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(a[k], np.float32), np.asarray(b[k], np.float32),
+                err_msg=f"{path}/{k}")
+
+
+# ---------------------------------------------------------------------------
+# round trips (no torch needed)
+# ---------------------------------------------------------------------------
+def test_roundtrip_fusion_w_jr_selfatten():
+    from jmt_tpu.models.fusion import TwoTransformers
+    m = TwoTransformers(joint_modalities="TRANSFORMER",
+                        output_format="SELF_ATTEN", num_heads=1, num_layers=1)
+    v = m.init(jax.random.PRNGKey(0), jnp.ones((2, 3, 512)),
+               jnp.ones((2, 3, 512)))
+    tree = v["params"]
+    sd = tex.inv_two_transformers(tree)
+    back = tio.two_transformers_params(sd, num_layers=1,
+                                       joint_modalities="TRANSFORMER",
+                                       output_format="SELF_ATTEN")
+    tree_eq(jax.tree.map(np.asarray, tree), back)
+
+
+def test_roundtrip_fusion_fc_format():
+    from jmt_tpu.models.fusion import TwoTransformers
+    m = TwoTransformers(joint_modalities="TRANSFORMER",
+                        output_format="FC", num_heads=1, num_layers=1)
+    v = m.init(jax.random.PRNGKey(1), jnp.ones((2, 3, 512)),
+               jnp.ones((2, 3, 512)))
+    sd = tex.inv_two_transformers(v["params"])
+    back = tio.two_transformers_params(sd, 1, "TRANSFORMER", "FC")
+    tree_eq(jax.tree.map(np.asarray, v["params"]), back)
+
+
+def test_roundtrip_intra_modal():
+    from jmt_tpu.models.intra_modal import IntraModalTransformerFusion
+    m = IntraModalTransformerFusion(feat_dim=512, num_heads=1,
+                                    hidden_dim=512, num_layers=1)
+    v = m.init(jax.random.PRNGKey(2), jnp.ones((2, 3, 512)),
+               jnp.ones((2, 3, 768)))
+    sd = tex.inv_intra_modal_fusion(v["params"])
+    back = tio.intra_modal_fusion_params(sd, num_layers=1)
+    tree_eq(jax.tree.map(np.asarray, v["params"]), back)
+
+
+def test_roundtrip_pretrainer_and_fc_layer():
+    from jmt_tpu.models.fusion import SingleBackbonePretrainer
+    from jmt_tpu.models.intra_modal import FcLayer
+    v = SingleBackbonePretrainer().init(jax.random.PRNGKey(3),
+                                        jnp.ones((2, 3, 512)))
+    back = tio.pretrainer_params(tex.inv_pretrainer(v["params"]))
+    tree_eq(jax.tree.map(np.asarray, v["params"]), back)
+
+    v = FcLayer(512).init(jax.random.PRNGKey(4), jnp.ones((2, 3, 1024)))
+    back = tio.fc_layer_params(tex.inv_fc_layer(v["params"]))
+    tree_eq(jax.tree.map(np.asarray, v["params"]), back)
+
+
+@pytest.mark.slow
+def test_roundtrip_resnet18():
+    from jmt_tpu.models.resnet18 import ResNet18
+    m = ResNet18(in_channels=1)
+    v = m.init(jax.random.PRNGKey(5), jnp.ones((1, 32, 32, 1)))
+    tree = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    sd = tex.inv_resnet18(tree)
+    back = tio.resnet18_vars(sd)
+    tree_eq(jax.tree.map(np.asarray, tree["params"]), back["params"])
+    tree_eq(jax.tree.map(np.asarray, tree["batch_stats"]),
+            back["batch_stats"])
+
+
+@pytest.mark.slow
+def test_roundtrip_video_resnet():
+    from jmt_tpu.models.video_resnet import VideoResNet
+    m = VideoResNet(arch="r2plus1d")
+    v = m.init(jax.random.PRNGKey(6), jnp.ones((1, 4, 32, 32, 3)))
+    tree = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    sd = tex.inv_video_resnet(tree)
+    back = tio.video_resnet_vars(sd)
+    tree_eq(jax.tree.map(np.asarray, tree["params"]), back["params"])
+    tree_eq(jax.tree.map(np.asarray, tree["batch_stats"]),
+            back["batch_stats"])
+
+
+@pytest.mark.slow
+def test_roundtrip_i3d_tcn_and_tsav():
+    from jmt_tpu.models.i3d import I3DTCN
+    m = I3DTCN()
+    v = m.init(jax.random.PRNGKey(7), jnp.ones((1, 8, 32, 32, 3)))
+    tree = {"params": v["params"], "batch_stats": v["batch_stats"]}
+    sd = tex.inv_i3d_tcn(tree)
+    back = tio.i3d_tcn_vars(sd)
+    tree_eq(jax.tree.map(np.asarray, tree["params"]), back["params"])
+    tree_eq(jax.tree.map(np.asarray, tree["batch_stats"]),
+            back["batch_stats"])
+
+    # tsav aggregate (vision_i3d only — structure is what's exercised)
+    agg = {"params": {"vision_i3d": tree["params"]},
+           "batch_stats": {"vision_i3d": tree["batch_stats"]}}
+    sd2 = tex.inv_tsav(agg)
+    back2 = tio.tsav_vars(sd2)
+    tree_eq(jax.tree.map(np.asarray, agg["params"]), back2["params"])
+
+
+# ---------------------------------------------------------------------------
+# reference strict-load + forward match
+# ---------------------------------------------------------------------------
+@pytest.mark.slow
+def test_reference_strict_load_and_forward_match():
+    torch = pytest.importorskip("torch")
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_loader import load_reference_models
+    ref_models = load_reference_models()
+    from jmt_tpu.models.fusion import TwoTransformers
+
+    m = TwoTransformers(joint_modalities="TRANSFORMER",
+                        output_format="SELF_ATTEN", num_heads=1, num_layers=1)
+    a = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 3, 512)).astype(np.float32))
+    vch = jnp.asarray(np.random.default_rng(1).normal(
+        size=(2, 3, 512)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(8), a, vch)
+    vout, aout = m.apply(v, a, vch)
+
+    ref = ref_models.two_transformers.Two_transformers(
+        0.0, 0.0, 1, 1, "TRANSFORMER", "SELF_ATTEN")
+    sd = tex.complete_for_module(tex.inv_two_transformers(v["params"]),
+                                 ref.state_dict())
+    ref.load_state_dict({k: torch.from_numpy(
+        np.ascontiguousarray(np.asarray(x, np.float32)))
+        for k, x in sd.items()}, strict=True)
+    ref.eval()
+    with torch.no_grad():
+        tv, ta = ref(torch.from_numpy(np.asarray(a)),
+                     torch.from_numpy(np.asarray(vch)))
+    np.testing.assert_allclose(np.asarray(vout), tv.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(aout), ta.numpy(), atol=2e-5)
+
+
+def test_export_reference_pt_writes_components(tmp_path):
+    """export_reference_pt converts a SavedWeights dir of msgpacks."""
+    torch = pytest.importorskip("torch")
+    from jmt_tpu.core.checkpoint import export_components
+    from jmt_tpu.models.fusion import SingleBackbonePretrainer
+    v = SingleBackbonePretrainer().init(jax.random.PRNGKey(9),
+                                        jnp.ones((2, 3, 512)))
+    export_components(str(tmp_path), {"backbone_pretrainer": v["params"]})
+    written = tex.export_reference_pt(str(tmp_path))
+    assert "backbone_pretrainer_w" in written
+    sd = torch.load(written["backbone_pretrainer_w"], map_location="cpu")
+    assert "regressor.0.weight" in sd
+    ref = tio.pretrainer_params({k: v.numpy() for k, v in sd.items()})
+    tree_eq(jax.tree.map(np.asarray, v["params"]), ref)
