@@ -265,6 +265,10 @@ class Batch:
     lengths: List[int]
     wav_paths: List[List[str]]
     wavlm: Optional[np.ndarray] = None  # (B, 16, 768) if wavLM enabled
+    # multi-host lockstep: hosts with fewer samples yield filler batches so
+    # every process issues the same number of (collective) steps; rows past
+    # n_valid are weight-0 padding (None = all rows valid)
+    n_valid: Optional[int] = None
 
 
 def collate(samples: Sequence[Sample]) -> Batch:

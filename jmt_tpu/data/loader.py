@@ -54,19 +54,28 @@ class PrefetchLoader:
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.host_shard is not None:
-            idx, count = self.host_shard
-            n = (n - idx + count - 1) // count
+            # lockstep contract: every host yields the SAME batch count
+            # (the longest host's), padding with empty/filler batches —
+            # otherwise a pod deadlocks on the shorter hosts' last step
+            _, count = self.host_shard
+            n = (n + count - 1) // count
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self):
         order = self._order()
+        target = len(self)
+        emitted = 0
         for i in range(0, len(order), self.batch_size):
             idx = order[i:i + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
-                return
+                break
             yield idx
+            emitted += 1
+        while emitted < target:  # lockstep filler (multi-host tail)
+            yield np.zeros((0,), np.int64)
+            emitted += 1
 
     def __iter__(self) -> Iterator[Batch]:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -77,7 +86,11 @@ class PrefetchLoader:
                 for idx in self._index_batches():
                     if stop.is_set():
                         return
-                    batch = collate([self.dataset[int(j)] for j in idx])
+                    if len(idx) == 0:  # lockstep filler: all rows padding
+                        batch = collate([self.dataset[0]])
+                        batch.n_valid = 0
+                    else:
+                        batch = collate([self.dataset[int(j)] for j in idx])
                     if self.wavlm_store is not None:
                         batch.wavlm = self.wavlm_store.lookup_batch(
                             batch.wav_paths)

@@ -74,16 +74,65 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def proc_info():
+    """(process_index, process_count). Module-level so tests can simulate
+    multi-host by monkeypatching."""
+    return jax.process_index(), jax.process_count()
+
+
+def is_main_process() -> bool:
+    """Checkpoint/artifact writes are gated to process 0 on a pod
+    (SURVEY.md §5.8 'checkpoint I/O on host 0'; logging is gated in
+    core.logging)."""
+    return proc_info()[0] == 0
+
+
 def shard_batch(mesh: Mesh, tree):
-    """device_put a host batch with the leading axis sharded."""
+    """Host batch -> global sharded device arrays.
+
+    Single process: a plain sharded device_put. Multi-process (pod): each
+    process holds only ITS rows of the global batch (loader host_shard),
+    and `jax.make_array_from_process_local_data` assembles the global
+    array — a device_put of local rows cannot build a global array on a
+    real pod."""
     sh = batch_sharding(mesh)
+    _, count = proc_info()
+    if count > 1:
+        import numpy as _np
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, _np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
 def host_shard():
     """(process_index, process_count) for multi-host data loading — pass to
     PrefetchLoader(host_shard=...). On a single host this is (0, 1)."""
-    return jax.process_index(), jax.process_count()
+    return proc_info()
+
+
+def process_rows(n_rows: int):
+    """This process's contiguous row block of a global batch with `n_rows`
+    rows: global row layout == per-process blocks in process order (the
+    loader/mesh contract; jax.devices() orders devices by process)."""
+    idx, count = proc_info()
+    assert n_rows % count == 0, (n_rows, count)
+    per = n_rows // count
+    return slice(idx * per, (idx + 1) * per)
+
+
+def gather_rows(x) -> np.ndarray:
+    """Global (possibly non-addressable) batch-axis array -> full host
+    np.ndarray on EVERY process (epoch metrics / stitching need the whole
+    vector). Single process: plain np.asarray."""
+    _, count = proc_info()
+    if count == 1:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(local, tiled=True))
 
 
 def pad_batch_to(tree, batch: int):

@@ -213,9 +213,17 @@ class StreamingSession:
 
 
 def measure_latency(server: InferenceServer, bucket: int,
-                    iters: int = 16, warmup: int = 2) -> Dict[str, float]:
+                    iters: int = 16, warmup: int = 2,
+                    device_input: bool = False) -> Dict[str, float]:
     """p50/p90 request latency per bucket. True device sync via a scalar
-    fetch (on the axon relay, block_until_ready returns early)."""
+    fetch (on the axon relay, block_until_ready returns early).
+
+    device_input=True pre-stages the request tensors on the device and
+    times ONLY compiled-graph execution + the result fetch — the true
+    chip-side serving number. The default times the full predict() path
+    including host->device transfer; through the axon RPC relay that
+    transfer dominates (~50 MB/s tunnel), so report BOTH: a production TPU
+    host pays ~PCIe (tens of ms for the large buckets), not relay, H2D."""
     rng = np.random.default_rng(0)
     clips = rng.integers(0, 255, (bucket, server.seq, 8, server.img,
                                   server.img, 3), dtype=np.uint8)
@@ -223,18 +231,32 @@ def measure_latency(server: InferenceServer, bucket: int,
              * 0.1).astype(np.float32)
     wavlm = (rng.normal(size=(bucket, server.seq, 768)).astype(np.float32)
              if server.use_wavlm else None)
+    if device_input:
+        arrays = {"clips": clips, "audio": audio}
+        if server.use_wavlm:
+            arrays["wavlm"] = wavlm
+        dev = jax.device_put(arrays)
+        fn = server._compiled[bucket]
+
+        def request():
+            v, _ = fn(server.variables, dev)
+            float(v.sum())  # device->host scalar: the only true barrier
+    else:
+        def request():
+            v, _ = server.predict(clips, audio, wavlm)  # np.asarray = sync
+            float(v.sum())
     for _ in range(warmup):
-        server.predict(clips, audio, wavlm)
+        request()
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        v, _ = server.predict(clips, audio, wavlm)  # np.asarray = sync
-        float(v.sum())
+        request()
         times.append(time.perf_counter() - t0)
     times.sort()
     clips_per_req = bucket * server.seq
     return {
         "bucket": bucket,
+        "device_input": device_input,
         "p50_ms": times[len(times) // 2] * 1e3,
         "p90_ms": times[int(len(times) * 0.9)] * 1e3,
         "p50_ms_per_clip": times[len(times) // 2] * 1e3 / clips_per_req,
@@ -271,7 +293,10 @@ def _selftest(buckets=(1, 8), heavy=False) -> Dict:
                              buckets=buckets)
     out = {"buckets": {}}
     for b in buckets:
-        out["buckets"][str(b)] = measure_latency(server, b)
+        out["buckets"][str(b)] = {
+            "relay": measure_latency(server, b),
+            "device_resident": measure_latency(server, b,
+                                               device_input=True)}
     return out
 
 
@@ -289,8 +314,11 @@ if __name__ == "__main__":
     if args.exp_dir:
         server = InferenceServer.from_experiment(args.exp_dir,
                                                  buckets=buckets)
-        stats = {"buckets": {str(b): measure_latency(server, b)
-                             for b in buckets}}
+        stats = {"buckets": {str(b): {
+            "relay": measure_latency(server, b),
+            "device_resident": measure_latency(server, b,
+                                               device_input=True)}
+            for b in buckets}}
     else:
         stats = _selftest(buckets)
     print(json.dumps(stats))

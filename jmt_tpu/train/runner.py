@@ -37,7 +37,9 @@ from jmt_tpu.data.loader import PrefetchLoader
 from jmt_tpu.train.state import TrainState
 from jmt_tpu.eval.stitch import Stitcher, write_challenge_txt
 from jmt_tpu.parallel.mesh import (pad_batch_to, make_mesh, shard_batch,
-                                   replicated_sharding)
+                                   replicated_sharding, host_shard,
+                                   is_main_process, process_rows,
+                                   gather_rows)
 
 
 @dataclasses.dataclass
@@ -86,6 +88,11 @@ class Runner:
         # the production data-parallel mesh (cfg.mesh_data_parallel; the
         # reference applies its DP wrapper in the run path, main.py:304-306)
         self.mesh = make_mesh(cfg.mesh_data_parallel, n_dcn=cfg.mesh_dcn)
+        # multi-host (pod): train loaders shard samples across processes;
+        # eval loaders load the FULL split on every process (cheap, keeps
+        # stitching metadata global) and each process contributes its row
+        # block at batch-assembly time
+        self.procs = host_shard()
 
     # ------------------------------------------------------------------
     def _first_batch_arrays(self):
@@ -116,11 +123,15 @@ class Runner:
         # replicate the state over the data mesh; batches are sharded on
         # their leading axis and XLA inserts the gradient all-reduce
         n = self.mesh.size
+        n_proc = self.procs[1]
         for split in ("train_params", "val_params", "test_params"):
             bsz = getattr(self.cfg, split).loader_params.batch_size
             assert bsz % n == 0, (
                 f"{split}.loader_params.batch_size={bsz} must be divisible "
                 f"by the {n}-device data mesh")
+            assert bsz % n_proc == 0, (
+                f"{split}.loader_params.batch_size={bsz} must be divisible "
+                f"by the {n_proc} host processes")
         if n > 1:
             self.state = jax.device_put(self.state,
                                         replicated_sharding(self.mesh))
@@ -132,15 +143,28 @@ class Runner:
         })
 
     # ------------------------------------------------------------------
-    def _device_arrays(self, batch, bsz: int):
+    def _device_arrays(self, batch, bsz: int, distributed_load=False):
         """Host batch -> padded, row-weighted, mesh-sharded device arrays.
-        Returns (arrays, n_real)."""
+        Returns (arrays, n_real).
+
+        distributed_load=True: `batch` is this process's LOCAL sample slice
+        (train loaders use host_shard); the global batch is assembled from
+        per-process blocks. Otherwise `batch` is the GLOBAL batch loaded
+        identically on every process (eval contract) and each process keeps
+        only its own row block before assembly."""
+        idx, count = self.procs
         arrays = device_batch(batch)
-        arrays, n_real = pad_batch_to(arrays, bsz)
-        w = np.zeros(bsz, np.float32)
+        pad_to = bsz // count if (distributed_load and count > 1) else bsz
+        arrays, n_real = pad_batch_to(arrays, pad_to)
+        if batch.n_valid is not None:  # multi-host lockstep filler batch
+            n_real = min(n_real, batch.n_valid)
+        w = np.zeros(pad_to, np.float32)
         w[:n_real] = 1.0
         arrays["row_weight"] = w
-        if self.mesh.size > 1:
+        if count > 1 and not distributed_load:
+            rows = process_rows(bsz)
+            arrays = jax.tree.map(lambda x: x[rows], arrays)
+        if self.mesh.size > 1 or count > 1:
             arrays = shard_batch(self.mesh, arrays)
         return arrays, n_real
 
@@ -158,15 +182,18 @@ class Runner:
         bsz = cfg.train_params.loader_params.batch_size
         vout, vtar, aout, atar = [], [], [], []
         epoch_loss, n = 0.0, 0
+        n_proc = self.procs[1]
         loader = PrefetchLoader(
-            self.train_ds, bsz,
+            self.train_ds, bsz // n_proc,
             shuffle=cfg.train_params.loader_params.shuffle, rng=rng,
             drop_last=False, wavlm_store=self.wavlm_store,
-            prefetch=cfg.train_params.loader_params.prefetch)
+            prefetch=cfg.train_params.loader_params.prefetch,
+            host_shard=self.procs if n_proc > 1 else None)
         profiling = bool(cfg.profile_dir) and epoch == cfg.profile_epoch
         t_step = datetime.datetime.now()
         for batch in loader:
-            arrays, n_real = self._device_arrays(batch, bsz)
+            arrays, n_real = self._device_arrays(batch, bsz,
+                                                 distributed_load=True)
             key, sub = jax.random.split(key)
             if profiling and n == 2:  # trace steps 2-4 (post-compile)
                 jax.profiler.start_trace(cfg.profile_dir)
@@ -184,13 +211,15 @@ class Runner:
                     step_seconds=(now - t_step).total_seconds()
                     / cfg.log_every_steps, lr=lr)
                 t_step = now
-            vouts = np.asarray(vouts).reshape(-1)
-            aouts = np.asarray(aouts).reshape(-1)
-            lv = arrays["labels_v"].reshape(-1)
-            la = arrays["labels_a"].reshape(-1)
-            keep = slice(0, n_real * batch.labels_v.shape[1])
-            vout.extend(vouts[keep]); vtar.extend(lv[keep])
-            aout.extend(aouts[keep]); atar.extend(la[keep])
+            # epoch-CCC accumulation over REAL rows only; row_weight marks
+            # them globally (pad rows sit at each process block's tail on a
+            # pod, so a contiguous n_real slice would be wrong there)
+            S = batch.labels_v.shape[1]
+            keep = np.repeat(gather_rows(arrays["row_weight"]) > 0.5, S)
+            vout.extend(gather_rows(vouts).reshape(-1)[keep])
+            aout.extend(gather_rows(aouts).reshape(-1)[keep])
+            vtar.extend(gather_rows(arrays["labels_v"]).reshape(-1)[keep])
+            atar.extend(gather_rows(arrays["labels_a"]).reshape(-1)[keep])
 
         if self.plateau is not None and n:
             self.plateau.step(epoch_loss / n)
@@ -212,12 +241,12 @@ class Runner:
                 prefetch=self.cfg.val_params.loader_params.prefetch):
             arrays, n_real = self._device_arrays(batch, bsz)
             vouts, aouts = self.eval_step(self.state, arrays)
-            stitcher.add_batch(np.asarray(vouts), np.asarray(aouts),
+            stitcher.add_batch(gather_rows(vouts), gather_rows(aouts),
                                batch.anchors, batch.videos, batch.lengths,
                                batch.labels_v, batch.labels_a,
                                n_real=n_real)
         ccc_v, ccc_a = stitcher.scores()
-        if store_pkl:
+        if store_pkl and is_main_process():
             stitcher.dump_pkl(store_pkl)
         return EpochMetrics(valid_ccc_v=ccc_v, valid_ccc_a=ccc_a)
 
@@ -232,12 +261,13 @@ class Runner:
                 prefetch=self.cfg.test_params.loader_params.prefetch):
             arrays, n_real = self._device_arrays(batch, bsz)
             vouts, aouts = self.eval_step(self.state, arrays)
-            stitcher.add_batch(np.asarray(vouts), np.asarray(aouts),
+            stitcher.add_batch(gather_rows(vouts), gather_rows(aouts),
                                batch.anchors, batch.videos, batch.lengths,
                                n_real=n_real)
-        write_challenge_txt(stitcher, dir_out)
-        if store_pkl:
-            stitcher.dump_pkl(store_pkl)
+        if is_main_process():
+            write_challenge_txt(stitcher, dir_out)
+            if store_pkl:
+                stitcher.dump_pkl(store_pkl)
 
     # ------------------------------------------------------------------
     def snapshot_best(self) -> None:
@@ -251,6 +281,8 @@ class Runner:
         """Export the BEST epoch's weights to SavedWeights/ (the reference
         writes the tracked best copies at the end, main.py:1028-1037), or
         the current state if no snapshot was taken yet."""
+        if not is_main_process():
+            return
         if self._best_snapshot is not None:
             params, batch_stats = self._best_snapshot
         else:
@@ -299,7 +331,8 @@ class Runner:
             self.log.log("experiment already passed; skipping "
                          "(passed.txt guard)")
             return {}
-        self.exp.create()
+        if is_main_process():
+            self.exp.create()
         if self.state is None:
             self.initialize()
         cfg = self.cfg
@@ -321,8 +354,10 @@ class Runner:
                     self.dump_best()
             self.state = dataclasses.replace(self.state, epoch=epoch + 1)
             # full train-state checkpoint every epoch: true resume from the
-            # LATEST state (beyond the reference, which has no resume)
-            ckpt.save_train_state(self.exp.weights_dir, self.state)
+            # LATEST state (beyond the reference, which has no resume).
+            # Pod: host-0 writes (state is replicated, so host 0 has it all)
+            if is_main_process():
+                ckpt.save_train_state(self.exp.weights_dir, self.state)
             self.log.metrics(step=epoch,
                              train_ccc_v=tm.train_ccc_v,
                              train_ccc_a=tm.train_ccc_a,
@@ -332,9 +367,10 @@ class Runner:
                              epoch_seconds=(datetime.datetime.now()
                                             - t0).total_seconds())
         self.dump_best()
-        self._plot_tracker()
         perfs = {"best": self.best, "tracker": self.tracker}
-        self.exp.finalize(perfs)
+        if is_main_process():
+            self._plot_tracker()
+            self.exp.finalize(perfs)
         return perfs
 
     def _plot_tracker(self) -> None:
