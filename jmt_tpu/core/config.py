@@ -157,10 +157,19 @@ class ModelParams:
     compute_dtype: str = "bfloat16"
     # remat (jax.checkpoint) the heavy backbones to trade FLOPs for HBM.
     remat_backbones: bool = False
+    # "backbone" = checkpoint whole backbones; "stage" = per-block/module
+    remat_granularity: str = "backbone"
     # I3D input resolution: 224 = reference parity (112->224 trilinear
     # upsample, utils/utils.py:293-300); 112 = TPU-native option skipping
     # the information-free upsample (~4x fewer I3D FLOPs, NOT parity).
     i3d_input_size: int = 224
+    # whole-inception-module Pallas kernel (ops/inception_pallas.py) for
+    # the eval/frozen-BN path: True | False | "auto" (on iff TPU backend).
+    i3d_fused_inception: object = "auto"
+    # stream the I3D trunk over clip chunks of this size (nn.scan, eval/
+    # frozen-BN only): bounds stem activations at O(chunk), raising the
+    # batch knee past the B>=12 OOM. 0 = off.
+    i3d_chunk: int = 0
 
     def __post_init__(self):
         if isinstance(self.l_vision_backbones, str):
@@ -196,6 +205,12 @@ class ModelParams:
         assert 0.0 <= self.v_dropout < 1.0 and 0.0 <= self.a_dropout < 1.0
         assert self.compute_dtype in ("bfloat16", "float32"), self.compute_dtype
         assert self.i3d_input_size in (112, 224), self.i3d_input_size
+        self.i3d_chunk = int(self.i3d_chunk)
+        assert self.i3d_chunk >= 0, self.i3d_chunk
+        if self.i3d_fused_inception != "auto":
+            self.i3d_fused_inception = _as_bool(self.i3d_fused_inception)
+        assert self.remat_granularity in ("backbone", "stage"), \
+            self.remat_granularity
 
 
 @dataclass

@@ -139,6 +139,9 @@ class InceptionModule(nn.Module):
     """
     in_channels: int
     out_channels: Sequence[int]  # [o0, o1, o2, o3, o4, o5]
+    # run the whole module as ONE Pallas kernel (ops/inception_pallas) —
+    # eval/frozen-BN only; exactness + the measured rationale live there
+    fused: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -152,7 +155,23 @@ class InceptionModule(nn.Module):
         self.b2b = Unit3D(o[4], o[3], (3, 3, 3), **kw)
         self.b3b = Unit3D(o[5], c, (1, 1, 1), **kw)
 
+    def _folded_branch(self, name):
+        u = getattr(self, name)
+        return (u.kernel_p,
+                u.bn.get_variable("params", "scale"),
+                u.bn.get_variable("params", "bias"),
+                u.bn.get_variable("batch_stats", "mean"),
+                u.bn.get_variable("batch_stats", "var"))
+
     def __call__(self, x, use_running_average=True):
+        if (self.fused and use_running_average
+                and not self.is_initializing()):
+            from jmt_tpu.ops.inception_pallas import (
+                fold_inception_weights, inception_module_fused)
+            dt = self.dtype or x.dtype
+            fw = fold_inception_weights(self._folded_branch, dt)
+            return inception_module_fused(x.astype(dt), fw,
+                                          self.out_channels)
         o = self.out_channels
         k = jnp.concatenate([self.b0.kernel_p, self.b1a.kernel_p,
                              self.b2a.kernel_p], axis=-1)  # (1,1,1,C,o0+o1+o3)
@@ -200,6 +219,10 @@ class InceptionI3d(nn.Module):
     """pytorch_i3d_new.py:247-537, feature path (final_endpoint='Logits',
     use_crf=False — every shipped reference config)."""
     num_classes: int = 400
+    fused_inception: bool = False
+    # stage-granular remat: checkpoint each inception module / stem conv
+    # (finetune memory knob; irrelevant to the frozen/fused path)
+    remat_stages: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -215,8 +238,12 @@ class InceptionI3d(nn.Module):
         reference's resize_clips_for_i3d + Conv3d_1a_7x7 composite — so
         the 2x tensor is never materialized (ops/conv.conv3d_stem_upsample2x).
         """
-        stem = Unit3D(64, 3, (7, 7, 7), (1, 2, 2), s2d_hw=True,
-                      dtype=self.dtype, name="Conv3d_1a_7x7")
+        Mod = (nn.remat(InceptionModule, static_argnums=(2,))
+               if self.remat_stages else InceptionModule)
+        U3 = (nn.remat(Unit3D, static_argnums=(2,))
+              if self.remat_stages else Unit3D)
+        stem = U3(64, 3, (7, 7, 7), (1, 2, 2), s2d_hw=True,
+                  dtype=self.dtype, name="Conv3d_1a_7x7")
         if stem_upsample2x:
             h = stem.upsampled2x(x, use_running_average)
         else:
@@ -226,15 +253,16 @@ class InceptionI3d(nn.Module):
             if name.startswith("MaxPool"):
                 h = max_pool_same(h, *spec)
             elif name.startswith("Mixed"):
-                h = InceptionModule(cin, spec, dtype=self.dtype, name=name)(
+                h = Mod(cin, spec, fused=self.fused_inception,
+                        dtype=self.dtype, name=name)(
                     h, use_running_average)
                 # module output channels: o0 + o2 + o4 + o5
                 cin = spec[0] + spec[2] + spec[4] + spec[5]
             else:
                 feats = {"Conv3d_2b_1x1": (64, (1, 1, 1)),
                          "Conv3d_2c_3x3": (192, (3, 3, 3))}[name]
-                h = Unit3D(feats[0], cin, feats[1], dtype=self.dtype,
-                           name=name)(h, use_running_average)
+                h = U3(feats[0], cin, feats[1], dtype=self.dtype,
+                       name=name)(h, use_running_average)
                 cin = feats[0]
         # AvgPool3d([2,7,7], stride 1), valid (pytorch_i3d_new.py:415-416).
         # The 7x7 window is the FULL spatial extent at the reference's 224px
@@ -254,13 +282,17 @@ class InceptionI3d(nn.Module):
 class I3DTCN(nn.Module):
     """I3D_WSDDA equivalent: I3D features -> TCN -> (B, T', 512)
     (I3DWSDDA.py:40-45)."""
+    fused_inception: bool = False
+    remat_stages: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool = True,
                  deterministic: bool = True,
                  stem_upsample2x: bool = False) -> jnp.ndarray:
-        feats = InceptionI3d(dtype=self.dtype, name="i3d")(
+        feats = InceptionI3d(fused_inception=self.fused_inception,
+                             remat_stages=self.remat_stages,
+                             dtype=self.dtype, name="i3d")(
             x, use_running_average, features_only=True,
             stem_upsample2x=stem_upsample2x)
         feats = feats.squeeze(3).squeeze(2)  # (B, T', 1024)

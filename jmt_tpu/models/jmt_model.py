@@ -42,17 +42,31 @@ class JMTModel(nn.Module):
     goal: str = "TRAINING"
     finetune: Sequence[str] = ()  # backbones NOT frozen (main.py:412-466)
     remat: bool = False           # rematerialize backbones in backward
+    remat_granularity: str = "backbone"   # "backbone" | "stage"
     i3d_input_size: int = 224     # 112 = native-resolution option
+    # whole-inception-module Pallas kernel (ops/inception_pallas.py);
+    # "auto" resolves to True on a TPU backend, False on CPU
+    i3d_fused_inception: object = "auto"
+    # stream the I3D trunk over clip chunks of this size (0 = off) —
+    # raises the B knee past the stem-activation OOM (models/tsav.py)
+    i3d_chunk: int = 0
     fc_transpose_quirk: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
+        fused = self.i3d_fused_inception
+        if fused == "auto":
+            from jmt_tpu.ops.inception_pallas import fused_default_enabled
+            fused = fused_default_enabled()
         self.backbones = TwoStreamBackbones(
             vision_backbones=tuple(self.vision_backbones),
             audio_backbones=tuple(self.audio_backbones),
             r2d1_arch=self.r2d1_arch, r2d1_reduce=self.r2d1_reduce,
             finetune=tuple(self.finetune), remat=self.remat,
-            i3d_input_size=self.i3d_input_size, dtype=self.dtype)
+            remat_granularity=self.remat_granularity,
+            i3d_input_size=self.i3d_input_size,
+            i3d_fused_inception=bool(fused),
+            i3d_chunk=self.i3d_chunk, dtype=self.dtype)
 
         # intra-modal (vision) — main.py:373-402
         self.fc_layer_for_video_concat = None
@@ -172,5 +186,8 @@ def model_from_config(cfg) -> JMTModel:
         v_dropout=mp.v_dropout, a_dropout=mp.a_dropout,
         r2d1_reduce=mp.R2D1_ft_dim_reduce,
         goal=cfg.goal, finetune=tuple(finetune),
-        remat=mp.remat_backbones, i3d_input_size=mp.i3d_input_size,
+        remat=mp.remat_backbones, remat_granularity=mp.remat_granularity,
+        i3d_input_size=mp.i3d_input_size,
+        i3d_fused_inception=mp.i3d_fused_inception,
+        i3d_chunk=mp.i3d_chunk,
         dtype=dtype)

@@ -54,30 +54,51 @@ class TwoStreamBackbones(nn.Module):
     # (jax.checkpoint): trades ~1 extra forward for O(depth) less HBM —
     # enables full-finetune at batch sizes the activations wouldn't fit
     remat: bool = False
+    # "backbone" = one checkpoint around each whole backbone;
+    # "stage" = per-residual-block / per-inception-module checkpoints
+    # (finer recompute/memory tradeoff — cfg.remat_granularity)
+    remat_granularity: str = "backbone"
     # I3D input resolution: 224 = reference parity (112px clips upsampled
     # 2x, utils/utils.py:293-300); 112 = TPU-native option that skips the
     # information-free upsample (~4x fewer I3D FLOPs; NOT reference-parity
     # — opt in via model_params.i3d_input_size, see tests for the
     # feature-drift bound)
     i3d_input_size: int = 224
+    # whole-inception-module Pallas kernel (ops/inception_pallas) — exact
+    # frozen-BN path; resolved from config 'auto' by the caller
+    i3d_fused_inception: bool = False
+    # stream the I3D trunk over clip chunks of this size (nn.scan with
+    # broadcast params): bounds the stem-output activation footprint —
+    # the measured HBM hog that OOMs B>=12 on v5e — at O(chunk) instead
+    # of O(B*S). 0 = off. Applied only when the I3D BN is in eval mode
+    # (frozen or eval — chunked batch stats would diverge); ops per chunk
+    # are identical to the unchunked path, so eval numerics are exact.
+    i3d_chunk: int = 0
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         assert self.r2d1_reduce in ("MAX", "AVG", "FLATTEN"), self.r2d1_reduce
         VR, I3, RN = VideoResNet, I3DTCN, ResNet18
-        if self.remat:
+        stage_remat = self.remat and self.remat_granularity == "stage"
+        if self.remat and not stage_remat:
             # static_argnums count the module itself as arg 0; the boolean
             # mode flags must be STATIC and passed POSITIONALLY at the call
             # sites below
             VR = nn.remat(VideoResNet, static_argnums=(2, 3))
             I3 = nn.remat(I3DTCN, static_argnums=(2, 3, 4))
             RN = nn.remat(ResNet18, static_argnums=(2,))
+        if self.remat and stage_remat:
+            RN = nn.remat(ResNet18, static_argnums=(2,))  # small: whole
         if "R2D1" in self.vision_backbones:
-            self.vision_r2d1 = VR(arch=self.r2d1_arch, dtype=self.dtype)
+            self.vision_r2d1 = VR(arch=self.r2d1_arch,
+                                  remat_blocks=stage_remat,
+                                  dtype=self.dtype)
             if self.r2d1_reduce == "FLATTEN":
                 self.vision_r2d1_fc = Linear(512, dtype=self.dtype)
         if "I3D" in self.vision_backbones:
-            self.vision_i3d = I3(dtype=self.dtype)
+            self.vision_i3d = I3(fused_inception=self.i3d_fused_inception,
+                                 remat_stages=stage_remat,
+                                 dtype=self.dtype)
         if "ResNet18" in self.audio_backbones:
             self.audio_resnet18 = RN(in_channels=1, dtype=self.dtype)
 
@@ -123,18 +144,36 @@ class TwoStreamBackbones(nn.Module):
         if "I3D" in self.vision_backbones:
             b, s = clips.shape[:2]
             flat = clips.reshape(b * s, *clips.shape[2:])
-            if (self.i3d_input_size == 2 * flat.shape[2]
-                    and self.i3d_input_size == 2 * flat.shape[3]):
-                # exact fold of the 2x upsample into the stem conv: never
-                # materializes the 224² tensor, 1.96x fewer stem MACs
-                # (ops/conv.conv3d_stem_upsample2x); positional args so
-                # nn.remat's static_argnums see the mode flags
-                tfeat = self.vision_i3d(flat, ura("I3D"), deterministic,
-                                        True)  # (N, T', 512)
+
+            def i3d_trunk(mdl, x):
+                if (mdl.i3d_input_size == 2 * x.shape[2]
+                        and mdl.i3d_input_size == 2 * x.shape[3]):
+                    # exact fold of the 2x upsample into the stem conv:
+                    # never materializes the 224² tensor, 1.96x fewer stem
+                    # MACs (ops/conv.conv3d_stem_upsample2x); positional
+                    # args so nn.remat's static_argnums see the mode flags
+                    return mdl.vision_i3d(x, ura("I3D"), deterministic,
+                                          True)  # (N, T', 512)
+                resized = resize_clips_for_i3d(x, mdl.i3d_input_size)
+                return mdl.vision_i3d(resized, ura("I3D"),
+                                      deterministic, False)
+
+            n, ck = flat.shape[0], self.i3d_chunk
+            if (ck > 0 and n > ck and n % ck == 0 and ura("I3D")
+                    and not self.is_initializing()):
+                # stream the trunk over n//ck chunks; dropout rngs split
+                # per chunk (fresh masks — a train-mode-only statistical
+                # difference; eval is deterministic and exact)
+                scan = nn.scan(
+                    lambda mdl, carry, xc: (carry, i3d_trunk(mdl, xc)),
+                    variable_broadcast=["params", "batch_stats"],
+                    split_rngs={"params": False, "dropout": True},
+                    in_axes=0, out_axes=0)
+                _, tfeat = scan(self, (),
+                                flat.reshape(n // ck, ck, *flat.shape[1:]))
+                tfeat = tfeat.reshape(n, *tfeat.shape[2:])
             else:
-                resized = resize_clips_for_i3d(flat, self.i3d_input_size)
-                tfeat = self.vision_i3d(resized, ura("I3D"),
-                                        deterministic, False)  # (N, T', 512)
+                tfeat = i3d_trunk(self, flat)
             f = jnp.max(tfeat, axis=1)  # max over time (tsav.py:216)
             feats["vision_i3d"] = f.reshape(b, s, 512)
 

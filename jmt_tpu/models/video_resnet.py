@@ -195,6 +195,10 @@ class VideoResNet(nn.Module):
     arch: str = "r2plus1d"
     layers: Sequence[int] = (2, 2, 2, 2)
     num_classes: int = 400
+    # stage-granular rematerialization: checkpoint each residual block
+    # (and the stem) instead of the whole backbone — finer fwd-recompute /
+    # memory tradeoff for finetune (cfg.remat_granularity="stage")
+    remat_blocks: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def _stem(self):
@@ -208,6 +212,8 @@ class VideoResNet(nn.Module):
         """x: (B, T, H, W, C). features_only returns layer4 activations
         (B, T', H', W', 512) — the reference's ``spatial_fts``
         (video_resnet.py:240)."""
+        Block = (nn.remat(BasicBlock3d, static_argnums=(2,))
+                 if self.remat_blocks else BasicBlock3d)
         h = self._stem()(x, use_running_average)
         planes = (64, 128, 256, 512)
         # mc3 mixes makers: Conv3DSimple for layer1, NoTemporal after
@@ -217,9 +223,9 @@ class VideoResNet(nn.Module):
         for li, (p, n) in enumerate(zip(planes, self.layers), start=1):
             for bi in range(n):
                 stride = 2 if (li > 1 and bi == 0) else 1
-                h = BasicBlock3d(p, builders[li - 1], stride,
-                                 dtype=self.dtype,
-                                 name=f"layer{li}_{bi}")(
+                h = Block(p, builders[li - 1], stride,
+                          dtype=self.dtype,
+                          name=f"layer{li}_{bi}")(
                     h, use_running_average)
         if features_only:
             return h

@@ -64,3 +64,45 @@ def test_reduce_max_avg_semantics():
     want = jnp.max(raw.reshape(2, -1, 512), axis=1).reshape(1, 2, 512)
     np.testing.assert_allclose(np.asarray(feats["vision_r2d1"]),
                                np.asarray(want), atol=1e-6)
+
+
+def test_i3d_chunked_trunk_matches_unchunked():
+    """i3d_chunk streams the I3D trunk via nn.scan with broadcast params;
+    in eval mode each chunk runs the identical op sequence, so the result
+    must match the unchunked path to float tolerance (models/tsav.py)."""
+    rng = np.random.default_rng(3)
+    clips = jnp.asarray(rng.normal(size=(2, 4, 8, 32, 32, 3)) * 0.3,
+                        dtype=jnp.float32)
+    m0 = TwoStreamBackbones(vision_backbones=("I3D",), audio_backbones=(),
+                            i3d_input_size=112)
+    v = m0.init(jax.random.PRNGKey(0), None, clips)
+    ref = m0.apply(v, None, clips)["vision_i3d"]
+    m1 = TwoStreamBackbones(vision_backbones=("I3D",), audio_backbones=(),
+                            i3d_input_size=112, i3d_chunk=2)
+    out = m1.apply(v, None, clips)["vision_i3d"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_i3d_chunk_bypassed_when_finetuning():
+    """Chunked batch-stats would diverge from full-batch BN — the chunk
+    path must be bypassed when the I3D BN runs in batch-stats mode."""
+    rng = np.random.default_rng(4)
+    clips = jnp.asarray(rng.normal(size=(1, 4, 8, 32, 32, 3)) * 0.3,
+                        dtype=jnp.float32)
+    m0 = TwoStreamBackbones(vision_backbones=("I3D",), audio_backbones=(),
+                            i3d_input_size=112, finetune=("I3D",))
+    v = m0.init(jax.random.PRNGKey(0), None, clips)
+    ref, bs0 = m0.apply(v, None, clips, True, True,
+                        mutable=["batch_stats"])
+    m1 = TwoStreamBackbones(vision_backbones=("I3D",), audio_backbones=(),
+                            i3d_input_size=112, finetune=("I3D",),
+                            i3d_chunk=2)
+    out, bs1 = m1.apply(v, None, clips, True, True,
+                        mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out["vision_i3d"]),
+                               np.asarray(ref["vision_i3d"]), atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-6),
+        bs0, bs1)

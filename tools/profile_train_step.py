@@ -34,6 +34,15 @@ VARIANTS = {
     "frozen": dict(finetune=(), remat=False),
     "finetune": dict(finetune=("R2D1", "I3D", "ResNet18"), remat=False),
     "finetune_remat": dict(finetune=("R2D1", "I3D", "ResNet18"), remat=True),
+    # stage-granular checkpoints (cfg.remat_granularity="stage"):
+    # per-residual-block (R2D1) / per-inception-module (I3D)
+    "finetune_remat_stage": dict(finetune=("R2D1", "I3D", "ResNet18"),
+                                 remat=True, granularity="stage"),
+    # single-backbone finetune isolations: (this - frozen) ~= that
+    # backbone's backward+update cost (VERDICT-r2 #4 bwd attribution)
+    "ft_r2d1": dict(finetune=("R2D1",), remat=False),
+    "ft_i3d": dict(finetune=("I3D",), remat=False),
+    "ft_audio": dict(finetune=("ResNet18",), remat=False),
 }
 
 
@@ -49,6 +58,7 @@ def main(variant="frozen", b=8, s=16, iters=8):
         intra_modal_fusion="encoder_plus_self_attention",
         joint_modalities="TRANSFORMER", output_format="SELF_ATTEN",
         finetune=spec["finetune"], remat=spec["remat"],
+        remat_granularity=spec.get("granularity", "backbone"),
         dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
