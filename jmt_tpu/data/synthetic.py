@@ -77,3 +77,76 @@ def synthetic_dataset(split: str, n_videos: int = 2, length: int = 481,
         frame_loader=synthetic_frame_loader,
         audio_loader=synthetic_audio_loader,
         img_size=img_size, check_coverage=check_coverage)
+
+
+# ---------------------------------------------------------------------------
+# LEARNABLE synthetic data: labels are a deterministic function of frame
+# CONTENT (not independent traces), so an end-to-end training run must
+# reach high stitched CCC — a whole-system learnability check that catches
+# cross-module wiring bugs (feature/label misalignment through windowing /
+# decimation / stitching) that per-module parity tests cannot.
+# ---------------------------------------------------------------------------
+def learnable_frame_loader(path: str) -> Optional[np.ndarray]:
+    """Frame pixels encode the labels as COLOR TILTS around a fixed base
+    brightness: red-blue tilt ~ valence, green-vs-mean tilt ~ arousal
+    (values parsed from the frame filename, which learnable_records bakes
+    them into).
+
+    Tilt encoding (not raw brightness) on purpose: the train path applies
+    the reference's per-clip brightness/contrast jitter ~U(0.8, 1.2)
+    (transforms.preprocess_clips, intensity.py:259-317), which multiplies
+    pixel values — a brightness-encoded label would be corrupted beyond
+    learnability, while channel DIFFERENCES only scale by the factor
+    (sign + ratio preserved, CCC ceiling ~0.99)."""
+    stem = path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+    _, v_s, a_s = stem.split("_")
+    v, a = float(v_s), float(a_s)
+    rng = np.random.default_rng(_seed_from(path))
+    img = np.empty((IMG_SIZE, IMG_SIZE, 3), np.float32)
+    img[..., 0] = 128.0 + 52.0 * v
+    img[..., 1] = 128.0 + 52.0 * a
+    img[..., 2] = 128.0 - 52.0 * v
+    img += rng.normal(0, 6.0, size=img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def learnable_records(n_videos: int = 3, length: int = 961,
+                      seed: int = 0) -> List[VideoRecord]:
+    """Slow label traces (period ~8 s = 240 frames, >> the 32-frame
+    subsequence span) so every frame of a clip carries its anchor label."""
+    records = []
+    for vi in range(n_videos):
+        rng = np.random.default_rng(seed + 100 + vi)
+        ids = np.arange(1, length + 1)
+        t = ids / 30.0
+        pv, pa = rng.uniform(0, 2 * np.pi, size=2)
+        v = 0.8 * np.sin(2 * np.pi * t / 8.0 + pv)
+        a = 0.7 * np.sin(2 * np.pi * t / 11.0 + pa)
+        records.append(VideoRecord(
+            name=f"learn{vi:03d}",
+            image_paths=[f"learn{vi:03d}/{i:05d}_{v[k]:+.4f}_{a[k]:+.4f}.jpg"
+                         for k, i in enumerate(ids)],
+            labels_v=v.astype(np.float32),
+            labels_a=a.astype(np.float32),
+            frame_ids=ids.astype(np.int64),
+            length=length,
+            wav_dir=f"/synthetic/audio/learn{vi:03d}",
+        ))
+    return records
+
+
+def learnable_dataset(split: str, n_videos: int = 3, length: int = 961,
+                      stride: int = 32, img_size: int = 32, seed: int = 0
+                      ) -> WindowedDataset:
+    """Anchor coverage note: window anchors are always ≡ 1 (mod 32) unless
+    stride makes window ends sweep all residues — with stride=1 every frame
+    1..length receives a prediction (the reference's shipped setting);
+    any other stride leaves stitch gaps, so the coverage check is enabled
+    exactly for the stride-1 eval geometry."""
+    return WindowedDataset(
+        learnable_records(n_videos, length, seed), split=split,
+        stride=stride,
+        frame_loader=learnable_frame_loader,
+        audio_loader=synthetic_audio_loader,
+        img_size=img_size,
+        check_coverage=(stride == 1 and split != "train"))

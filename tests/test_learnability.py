@@ -1,0 +1,55 @@
+"""Whole-system learnability: the assembled pipeline must LEARN.
+
+VERDICT r2 weakness #5: per-module parity and loss-decreases tests cannot
+catch silent cross-module wiring bugs (e.g. feature/label misalignment
+through windowing/decimation/stitching). Here the labels are a
+deterministic function of frame CONTENT (data/synthetic.learnable_dataset:
+red-blue tilt ~ valence, green tilt ~ arousal, slow traces), so a short
+end-to-end training run must drive the STITCHED validation CCC high — it
+can only do so if windows, clips, labels, predictions, and stitching all
+line up.
+
+Generalizes the reference's de-facto smoke convention (README.MD:98-106,
+``take_n_videos 2 max_epochs 1``) into an assertable criterion.
+"""
+import numpy as np
+import pytest
+
+from jmt_tpu.core.config import Config
+from jmt_tpu.data.synthetic import learnable_dataset
+from jmt_tpu.train.runner import Runner
+
+
+@pytest.mark.slow
+def test_end_to_end_learns_stitched_ccc(tmp_path):
+    cfg = Config.from_dict({
+        "exp_id": "learn", "outd": str(tmp_path / "exps"),
+        "goal": "PRETRAINING",  # single trainable backbone end-to-end
+        "train_params": {"loader_params": {"batch_size": 4,
+                                           "shuffle": True}},
+        "val_params": {"loader_params": {"batch_size": 4}},
+        "model_params": {
+            "l_vision_backbones": "R2D1", "l_audio_backbones": "",
+            "freeze_vision_R2D1": False, "R2D1_ft_dim_reduce": "MAX",
+            "max_epochs": 4, "compute_dtype": "float32",
+            "opt": {"name_optimizer": "adam", "lr": 1e-3,
+                    "weight_decay": 0.0, "lr_scheduler": False}},
+        "SEED": 0, "mesh_data_parallel": 1, "log_every_steps": 0,
+    })
+    train = learnable_dataset("train", n_videos=3, length=961, stride=64,
+                              img_size=16, seed=0)
+    # HELD-OUT video with the stride-1 eval geometry: only stride=1 makes
+    # the window anchors cover every frame (anchors are ≡1 mod 32
+    # otherwise — stitch gaps would cap CCC near 0 no matter how well the
+    # model learned); length=481 keeps full coverage at 32 windows.
+    val = learnable_dataset("val", n_videos=1, length=481, stride=1,
+                            img_size=16, seed=7)
+    r = Runner(cfg, train, val)
+    perfs = r.fit()
+    track_v = perfs["tracker"]["valid_v"]
+    track_a = perfs["tracker"]["valid_a"]
+    # learnable signal: stitched CCC must end HIGH and be rising
+    assert track_v[-1] > 0.45, track_v
+    assert track_a[-1] > 0.45, track_a
+    assert track_v[-1] > track_v[0] - 1e-6, track_v
+    assert track_a[-1] > track_a[0] - 1e-6, track_a
