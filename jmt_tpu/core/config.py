@@ -164,7 +164,10 @@ class ModelParams:
     # the information-free upsample (~4x fewer I3D FLOPs, NOT parity).
     i3d_input_size: int = 224
     # whole-inception-module Pallas kernel (ops/inception_pallas.py) for
-    # the eval/frozen-BN path: True | False | "auto" (on iff TPU backend).
+    # the eval/frozen-BN path: True | False | "auto". "auto" currently
+    # resolves to False everywhere: the kernel wins the isolated trunk
+    # but loses end-to-end to the XLA path by ~5 ms/step on v5e (boundary
+    # seams — measured rationale in ops/inception_pallas.py).
     i3d_fused_inception: object = "auto"
     # stream the I3D trunk over clip chunks of this size (nn.scan, eval/
     # frozen-BN only): bounds stem activations at O(chunk), raising the

@@ -61,13 +61,30 @@ def _round_up(x: int, m: int) -> int:
 
 
 def fused_default_enabled() -> bool:
-    """Resolve the 'auto' setting: the Mosaic kernel path needs a real TPU
-    backend (the axon relay platform included); CPU runs keep the XLA path
-    (interpret-mode Pallas is for tests only — orders of magnitude slow)."""
+    """Resolve the model-level 'auto' setting: currently always False.
+
+    Measured (v5e-1, bf16, 128 clips): the fused kernel wins the ISOLATED
+    inception trunk (62.6 ms vs 67.9 XLA, all modules incl. Mixed_5) but
+    LOSES inside the full I3D backbone (112.1 vs 106.1 ms) and the full
+    flagship model (156.4 vs 151.6 ms). Localization: the trunk bench's
+    entry is a free program argument; in-model the two XLA<->Pallas
+    boundary seams (stem->Mixed_3b, Mixed_5c->tail) cost ~11-12 ms — the
+    custom-call edge breaks XLA's cross-op scheduling/DMA overlap, same
+    structural effect as round 2's fused pool+1x1 negative result. The
+    kernel remains opt-in (i3d_fused_inception=True) and the in-progress
+    seam fix is pool/tail ABSORPTION (pool-prologue + avgpool-epilogue)
+    so the kernel region touches XLA only where a tensor must exist in
+    HBM anyway. CPU never fuses (interpret-mode Pallas is test-only)."""
     try:
-        return jax.devices()[0].platform in ("tpu", "axon")
+        return (_FUSED_AUTO_ON_TPU
+                and jax.devices()[0].platform in ("tpu", "axon"))
     except Exception:
         return False
+
+
+# model-level 'auto' gate; flip when the seam-absorbing kernel variants
+# (pool prologue / avgpool epilogue) beat the XLA path END-TO-END
+_FUSED_AUTO_ON_TPU = False
 
 
 class FoldedInception(NamedTuple):
