@@ -142,6 +142,13 @@ class InceptionModule(nn.Module):
     # run the whole module as ONE Pallas kernel (ops/inception_pallas) —
     # eval/frozen-BN only; exactness + the measured rationale live there
     fused: bool = False
+    # seam absorption (applied in BOTH paths so semantics are identical
+    # whichever branch runs): pool_in = (kernel, strides) of the
+    # preceding MaxPool3dSamePadding, folded into this module; avg_tail =
+    # apply the I3D feature tail AvgPool3d((2,H,W), valid) and return
+    # (B, T-1, C) instead of the spatial map
+    pool_in: Optional[tuple] = None
+    avg_tail: bool = False
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
@@ -163,6 +170,17 @@ class InceptionModule(nn.Module):
                 u.bn.get_variable("batch_stats", "mean"),
                 u.bn.get_variable("batch_stats", "var"))
 
+    def _pool_absorbable(self, x) -> bool:
+        """The Pallas kernel computes the absorbed pool only for the
+        reference shapes (kernel (1|2|3,k,k), k in {2,3}, stride (1,2,2))
+        on even pre-pool maps; anything else pools outside the kernel."""
+        if self.pool_in is None:
+            return False
+        (kt, kh, kw), st = self.pool_in
+        return (tuple(st) == (1, 2, 2) and kh == kw and kh in (2, 3)
+                and kt in (1, 2, 3)
+                and x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0)
+
     def __call__(self, x, use_running_average=True):
         if (self.fused and use_running_average
                 and not self.is_initializing()):
@@ -170,8 +188,15 @@ class InceptionModule(nn.Module):
                 fold_inception_weights, inception_module_fused)
             dt = self.dtype or x.dtype
             fw = fold_inception_weights(self._folded_branch, dt)
-            return inception_module_fused(x.astype(dt), fw,
-                                          self.out_channels)
+            absorb = self._pool_absorbable(x)
+            if self.pool_in is not None and not absorb:
+                x = max_pool_same(x, *self.pool_in)
+            return inception_module_fused(
+                x.astype(dt), fw, self.out_channels,
+                pool_in=self.pool_in if absorb else None,
+                avg_tail=self.avg_tail)
+        if self.pool_in is not None:
+            x = max_pool_same(x, *self.pool_in)
         o = self.out_channels
         k = jnp.concatenate([self.b0.kernel_p, self.b1a.kernel_p,
                              self.b2a.kernel_p], axis=-1)  # (1,1,1,C,o0+o1+o3)
@@ -191,7 +216,11 @@ class InceptionModule(nn.Module):
                       use_running_average)
         b3 = max_pool_same(x, (3, 3, 3), (1, 1, 1))
         b3 = self.b3b(b3, use_running_average)
-        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+        out = jnp.concatenate([b0, b1, b2, b3], axis=-1)
+        if self.avg_tail:
+            out = avg_pool(out, (2, out.shape[2], out.shape[3]), (1, 1, 1))
+            out = out.squeeze(3).squeeze(2)  # (B, T-1, C), as the kernel
+        return out
 
 
 # (endpoint name, inception channel spec) in forward order; pools inline.
@@ -249,13 +278,29 @@ class InceptionI3d(nn.Module):
         else:
             h = stem(x, use_running_average)
         cin = 64
-        for name, spec in _I3D_STAGES[1:]:
+        stages = _I3D_STAGES[1:]
+        # seam absorption: a MaxPool immediately preceding a Mixed module
+        # is folded into that module (pool_in), and the tail
+        # AvgPool3d([2,H,W]) (pytorch_i3d_new.py:415-416; the 7x7 window
+        # is the FULL spatial extent at the reference's 224px input) is
+        # folded into Mixed_5c (avg_tail) — identical ops either way on
+        # the XLA path, and the Pallas fused path computes them inside
+        # the module kernels so the pooled/pre-tail tensors never hit HBM
+        pending_pool = None
+        for idx, (name, spec) in enumerate(stages):
             if name.startswith("MaxPool"):
-                h = max_pool_same(h, *spec)
+                if (idx + 1 < len(stages)
+                        and stages[idx + 1][0].startswith("Mixed")):
+                    pending_pool = spec
+                else:
+                    h = max_pool_same(h, *spec)
             elif name.startswith("Mixed"):
+                last = name == "Mixed_5c"
                 h = Mod(cin, spec, fused=self.fused_inception,
+                        pool_in=pending_pool, avg_tail=last,
                         dtype=self.dtype, name=name)(
                     h, use_running_average)
+                pending_pool = None
                 # module output channels: o0 + o2 + o4 + o5
                 cin = spec[0] + spec[2] + spec[4] + spec[5]
             else:
@@ -264,11 +309,7 @@ class InceptionI3d(nn.Module):
                 h = U3(feats[0], cin, feats[1], dtype=self.dtype,
                        name=name)(h, use_running_average)
                 cin = feats[0]
-        # AvgPool3d([2,7,7], stride 1), valid (pytorch_i3d_new.py:415-416).
-        # The 7x7 window is the FULL spatial extent at the reference's 224px
-        # input; at the native-112 option the extent is 4x4 — pool over
-        # whatever the full extent is (identical op at 224).
-        h = avg_pool(h, (2, h.shape[2], h.shape[3]), (1, 1, 1))
+        h = h[:, :, None, None, :]  # (B, T-1, 1, 1, 1024) contract
         if features_only:
             return h  # (B, T-1, 1, 1, 1024)
         # Logits head (dropout omitted at inference; Unit3D 1x1x1 linear)

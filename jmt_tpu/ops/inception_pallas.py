@@ -115,8 +115,8 @@ _FORCE_INTERPRET = False
 
 
 def _kernel(x_ref, k1_ref, b1_ref, kb1_ref, bb1_ref, kb2_ref, bb2_ref,
-            k3_ref, b3_ref, out_ref, xs_ref, *, T, ht, W, W2, n_h, spec,
-            acc_dtype):
+            k3_ref, b3_ref, out_ref, xs_ref, *scratch, T, ht, W, W2, n_h,
+            spec, acc_dtype, pool=None, avg_tail=False):
     o0, o1, o2, o3, o4, o5 = spec
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -131,7 +131,80 @@ def _kernel(x_ref, k1_ref, b1_ref, kb1_ref, bb1_ref, kb2_ref, bb2_ref,
     def _init():
         xs_ref[...] = jnp.zeros_like(xs_ref)
 
-    if n_h == 1:
+    if pool is not None:
+        # ---- POOL PROLOGUE (seam absorption): x is the PRE-pool tensor;
+        # the preceding MaxPool3dSamePadding(kernel=(ks_t,ks,ks),
+        # stride=(1,2,2)) is computed here during halo assembly, so the
+        # pooled tensor never exists in HBM and the pool's XLA<->Pallas
+        # seam disappears. Zero-pad == the reference's F.pad(0) semantics
+        # (inputs are post-ReLU nonnegative).
+        ks_t, ks = pool
+        ps_ref = scratch[0]
+        Hpre, Wpre = 2 * ht * n_h, 2 * W
+        # clamped pre-pool block: rows [sc, sc+Bh); ps row r <-> pre row
+        # s0 + r - 3 with s0 = 2*(j*ht-1) the unclamped halo start
+        Bh = min(2 * ht + 2 + ks, Hpre)
+        assert n_h == 1 or Bh == 2 * ht + 2 + ks, (
+            "capped pre block only supported single-tile")
+
+        @pl.when((i == 0) & (j == 0))
+        def _init_ps():
+            ps_ref[...] = jnp.zeros_like(ps_ref)
+
+        # dst0 = (sc - s0) + 3: first tile 5, interior 3, last 2ht+5-Bh
+        dst0 = jnp.where(j == 0, 5,
+                         jnp.where(j == n_h - 1, 2 * ht + 5 - Bh, 3))
+        ps_ref[1:T + 1, pl.ds(dst0, Bh), :Wpre, :] = x_ref[0]
+
+        # stale-row protection: zero the consumer rows ([3, 2ht+4+ks])
+        # not covered by this step's write
+        zrow = jnp.zeros((T, 1, Wpre, ps_ref.shape[-1]), ps_ref.dtype)
+
+        @pl.when(j == 0)
+        def _zero_top_pre():      # pre rows -2, -1 (pooled halo row -1)
+            ps_ref[1:T + 1, 3:5, :Wpre, :] = jnp.concatenate(
+                [zrow, zrow], axis=1)
+
+        if n_h > 1:
+            @pl.when(j == n_h - 1)
+            def _zero_bot_pre():  # pre rows >= Hpre (right SAME pad)
+                for rr in range(2 * ht + 5, 2 * ht + 5 + ks):
+                    ps_ref[1:T + 1, rr, :Wpre, :] = zrow[:, 0]
+        else:
+            for rr in range(5 + Bh, 2 * ht + 5 + ks):
+                ps_ref[1:T + 1, rr, :Wpre, :] = zrow[:, 0]
+
+        # pooled halo tile row-by-row: T-max (stride-1 SAME), H-max
+        # (static rows 2*r_h+3+dh), then W-max via the (Wp/2, 2) sublane
+        # split (stride-2 columns). Pad rows/cols come out zero naturally.
+        Wp2p = ps_ref.shape[2]
+        for r_h in range(ht + 2):
+            mrow = None
+            for dh in range(ks):
+                row = 2 * r_h + 3 + dh
+                if ks_t == 1:
+                    s = ps_ref[1:T + 1, row, :, :]
+                elif ks_t == 2:
+                    s = jnp.maximum(ps_ref[1:T + 1, row, :, :],
+                                    ps_ref[2:T + 2, row, :, :])
+                else:
+                    s = jnp.maximum(
+                        jnp.maximum(ps_ref[0:T, row, :, :],
+                                    ps_ref[1:T + 1, row, :, :]),
+                        ps_ref[2:T + 2, row, :, :])
+                mrow = s if mrow is None else jnp.maximum(mrow, s)
+            r4 = mrow.reshape(T, Wp2p // 2, 2, -1)
+            ev, od = r4[:, :, 0, :], r4[:, :, 1, :]
+            pw = jnp.maximum(ev[:, :W, :], od[:, :W, :])
+            if ks == 3:
+                pw = jnp.maximum(pw, ev[:, 1:W + 1, :])
+            if r_h == 0:
+                # xs row 0 at j==0 is the following conv's zero-pad halo
+                # row, NOT pooled row -1: for ks==3 the pool window of
+                # "row -1" would reach real pre row 0 and leak data
+                pw = jnp.where(j == 0, jnp.zeros_like(pw), pw)
+            xs_ref[1:T + 1, r_h, 1:W + 1, :] = pw
+    elif n_h == 1:
         xs_ref[1:T + 1, 1:ht + 1, 1:W + 1, :] = x_ref[0]
     else:
         # block start was clamp(j*ht-1, 0, H-ht-2): delta = true-start -
@@ -177,9 +250,22 @@ def _kernel(x_ref, k1_ref, b1_ref, kb1_ref, bb1_ref, kb2_ref, bb2_ref,
     def core(v):  # (T, Mt, o) merged rows -> (T, ht, W, o)
         return v.reshape(T, ht, W2, -1)[:, :, :W, :]
 
+    def emit(c0, c1, cb):
+        """Write a branch's core tensor (T, ht, W, o) into out channels
+        [c0, c1). avg_tail (seam absorption): instead of the spatial map,
+        write AvgPool3d((2, H, W), stride 1, valid) of it — (T-1, o) per
+        item — so the module's HBM output is 98x smaller and the
+        Mixed_5c->tail XLA boundary disappears (pytorch_i3d_new.py:415)."""
+        if not avg_tail:
+            out_ref[:, :, :, c0:c1] = cb.astype(out_ref.dtype)
+            return
+        s = cb.astype(jnp.float32).sum(axis=(1, 2))     # (T, o)
+        s = (s[:-1] + s[1:]) * (1.0 / (2 * ht * W))
+        out_ref[:, c0:c1] = s.astype(out_ref.dtype)
+
     # b0: epilogue on the core slice only ("tap (1,1,1)": rows r+1, cols c+1)
     b0v = jax.nn.relu(y[1:T + 1, W2 + 1: W2 + 1 + Mt, :o0])
-    out_ref[:, :, :, :o0] = core(b0v).astype(out_ref.dtype)
+    emit(0, o0, core(b0v))
 
     # halo-validity mask: a branch-a activation at a PAD position must be 0
     # (relu(bias) otherwise — zero-pad SAME-conv semantics). W pads/junk and
@@ -221,13 +307,11 @@ def _kernel(x_ref, k1_ref, b1_ref, kb1_ref, bb1_ref, kb2_ref, bb2_ref,
 
     a1 = jnp.where(valid, jax.nn.relu(y[:, :, o0:o0 + o1]), 0
                    ).astype(xs_ref.dtype)
-    out_ref[:, :, :, o0:o0 + o2] = conv3_branch(
-        a1, kb1_ref, bb1_ref, o2).astype(out_ref.dtype)
+    emit(o0, o0 + o2, conv3_branch(a1, kb1_ref, bb1_ref, o2))
 
     a2 = jnp.where(valid, jax.nn.relu(y[:, :, o0 + o1:]), 0
                    ).astype(xs_ref.dtype)
-    out_ref[:, :, :, o0 + o2:o0 + o2 + o4] = conv3_branch(
-        a2, kb2_ref, bb2_ref, o4).astype(out_ref.dtype)
+    emit(o0 + o2, o0 + o2 + o4, conv3_branch(a2, kb2_ref, bb2_ref, o4))
 
     # ---- pool branch: shifted-max tree (separable: T, then H, then W)
     p = jnp.maximum(jnp.maximum(X3[0:T], X3[1:T + 1]), X3[2:T + 2])
@@ -241,29 +325,65 @@ def _kernel(x_ref, k1_ref, b1_ref, kb1_ref, bb1_ref, kb2_ref, bb2_ref,
     b3v = jnp.dot(p.reshape(T * Mt, C), k3_ref[...],
                   preferred_element_type=acc_dtype)
     b3v = jax.nn.relu(b3v + b3_ref[...].astype(acc_dtype)).reshape(T, Mt, o5)
-    out_ref[:, :, :, o0 + o2 + o4:] = core(b3v).astype(out_ref.dtype)
+    emit(o0 + o2 + o4, o0 + o2 + o4 + o5, core(b3v))
 
 
 def inception_module_fused(x: jnp.ndarray, fw: FoldedInception,
                            out_channels: Sequence[int], *,
+                           pool_in=None, avg_tail: bool = False,
                            ht: int = 0, interpret: bool = False,
                            acc_dtype=jnp.float32) -> jnp.ndarray:
     """x: (N, T, H, W, C) NONNEGATIVE (post-ReLU/pool — required for the
     zero-pad == -inf-pad maxpool equivalence). Returns the module output
-    (N, T, H, W, o0+o2+o4+o5), concat layout identical to the XLA path."""
+    (N, T, H, W, o0+o2+o4+o5), concat layout identical to the XLA path.
+
+    Seam absorption (the measured reason the bare kernel loses in-model —
+    see fused_default_enabled):
+    * pool_in=(kernel, strides): x is the PRE-pool tensor and the module
+      computes MaxPool3dSamePadding(kernel, strides) on the fly during
+      halo assembly. Supported: kernel (1|2|3, k, k) with stride (1,2,2),
+      k in {2,3} — exactly the reference's pool2a/3a/4a/5a shapes.
+    * avg_tail: the output is AvgPool3d((2, H, W), stride 1, valid) of
+      the module output, shape (N, T-1, co) — the I3D feature-path tail
+      (pytorch_i3d_new.py:415-416) — so the (N,T,H,W,co) map never
+      reaches HBM.
+    """
     interpret = interpret or _FORCE_INTERPRET
     o = tuple(out_channels)
-    n, T, H, W, C = x.shape
+    if pool_in is not None:
+        kern_, str_ = pool_in
+        assert tuple(str_) == (1, 2, 2) and kern_[1] == kern_[2] \
+            and kern_[1] in (2, 3) and kern_[0] in (1, 2, 3), pool_in
+        ks_t, ks = int(kern_[0]), int(kern_[1])
+        n, T, Hpre, Wpre, C = x.shape
+        assert Hpre % 2 == 0 and Wpre % 2 == 0, x.shape
+        H, W = Hpre // 2, Wpre // 2
+    else:
+        ks_t = ks = 0
+        n, T, H, W, C = x.shape
     if not ht:
         # 28x28 maps sit ~1 MB over the 16 MB VMEM limit at ht=7 — use
-        # finer tiles there; 14/7 run one-or-two 7-row tiles
-        ht = 4 if (H > 14 and H % 4 == 0) else 7
+        # finer tiles there; 14/7 run one-or-two 7-row tiles. Pooled
+        # modules carry the pre-pool scratch too: finer tiles at 14x14
+        # (ht=2) and 7x7 (ht=1, C=832 pre tile) to stay inside VMEM.
+        if avg_tail:
+            ht = H  # avg_tail needs the full map in one tile
+        elif pool_in is not None and H == 14:
+            ht = 2
+        elif pool_in is not None and H == 7:
+            ht = 1
+        else:
+            ht = 4 if (H > 14 and H % 4 == 0) else 7
     if H % ht:
         ht = H  # fall back to one tile
     n_h = H // ht
+    # interior-tile clamp-free guarantee (see _kernel dst0 derivation)
+    assert ks <= 2 * ht or n_h == 1, (ks, ht)
+    if avg_tail:
+        assert n_h == 1, "avg_tail requires a single H tile (H==ht)"
+        assert T >= 2, T
     W2 = _round_up(W + 2, 16)
     co = o[0] + o[2] + o[4] + o[5]
-    bh = min(ht + 2, H)  # clamped halo block height (n_h==1: whole H)
 
     fw = FoldedInception(*[a if a.ndim > 1 else a.reshape(1, -1)
                            for a in fw])  # biases 2-D for TPU layout
@@ -277,25 +397,51 @@ def inception_module_fused(x: jnp.ndarray, fw: FoldedInception,
                                  + C * o[5])                    # b3b
     kern = functools.partial(
         _kernel, T=T, ht=ht, W=W, W2=W2, n_h=n_h,
-        spec=(o[0], o[1], o[2], o[3], o[4], o[5]), acc_dtype=acc_dtype)
-    return pl.pallas_call(
-        kern,
-        grid=(n, n_h),
-        in_specs=[pl.BlockSpec(
+        spec=(o[0], o[1], o[2], o[3], o[4], o[5]), acc_dtype=acc_dtype,
+        pool=(ks_t, ks) if pool_in is not None else None,
+        avg_tail=avg_tail)
+
+    scratch = [pltpu.VMEM((T + 2, ht + 3, W2, C), x.dtype)]
+    if pool_in is not None:
+        Bh = min(2 * ht + 2 + ks, 2 * H)
+        Wp2p = _round_up(2 * W + 2, 16)
+        scratch.append(
+            pltpu.VMEM((T + 2, 2 * ht + 7 + ks, Wp2p, C), x.dtype))
+        in_spec = pl.BlockSpec(
+            (pl.Element(1), pl.Element(T), pl.Element(Bh),
+             pl.Element(2 * W), pl.Element(C)),
+            lambda i, j: (i, 0,
+                          jnp.clip(2 * (j * ht - 1), 0, 2 * H - Bh), 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        bh = min(ht + 2, H)  # clamped halo block height (n_h==1: whole H)
+        in_spec = pl.BlockSpec(
             # Mosaic: all dims of a spec must be Element if any is
             (pl.Element(1), pl.Element(T), pl.Element(bh),
              pl.Element(W), pl.Element(C)),
             lambda i, j: (i, 0, jnp.clip(j * ht - 1, 0, H - bh), 0, 0),
-            memory_space=pltpu.VMEM),
-            *wspec],
-        out_specs=pl.BlockSpec((None, T, ht, W, co),
-                               lambda i, j: (i, 0, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, T, H, W, co), x.dtype),
-        scratch_shapes=[pltpu.VMEM((T + 2, ht + 3, W2, C), x.dtype)],
+            memory_space=pltpu.VMEM)
+
+    if avg_tail:
+        out_spec = pl.BlockSpec((None, T - 1, co), lambda i, j: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, T - 1, co), x.dtype)
+    else:
+        out_spec = pl.BlockSpec((None, T, ht, W, co),
+                                lambda i, j: (i, 0, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n, T, H, W, co), x.dtype)
+
+    return pl.pallas_call(
+        kern,
+        grid=(n, n_h),
+        in_specs=[in_spec, *wspec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=flops, bytes_accessed=(x.size + n * T * H * W * co)
-            * x.dtype.itemsize, transcendentals=0),
+            flops=flops, bytes_accessed=(x.size + int(np.prod(
+                out_shape.shape))) * x.dtype.itemsize, transcendentals=0),
         interpret=interpret,
     )(x, fw.k1, fw.b1, fw.kb1, fw.bb1, fw.kb2, fw.bb2, fw.k3, fw.b3)
 

@@ -46,13 +46,17 @@ def _fold_from_vars(v, dtype=jnp.float32):
     return ip.fold_inception_weights(get, dtype)
 
 
-def _check(N, T, H, W, C, spec, ht, tol=2e-5):
-    m = InceptionModule(C, spec)
+def _check(N, T, H, W, C, spec, ht, tol=2e-5, pool_in=None,
+           avg_tail=False):
+    """pool_in/avg_tail: H, W are the PRE-pool spatial size; the unfused
+    InceptionModule applies the same absorbed ops on its XLA path."""
+    m = InceptionModule(C, spec, pool_in=pool_in, avg_tail=avg_tail)
     x = jax.nn.relu(jax.random.normal(
         jax.random.PRNGKey(42), (N, T, H, W, C), jnp.float32))
     v = _random_module_vars(m, x)
     ref = m.apply(v, x)
     out = ip.inception_module_fused(x, _fold_from_vars(v), spec, ht=ht,
+                                    pool_in=pool_in, avg_tail=avg_tail,
                                     interpret=True)
     assert out.shape == ref.shape, (out.shape, ref.shape)
     rel = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
@@ -103,6 +107,98 @@ def test_real_i3d_module_specs(stage):
     _check(1, 4, hw, hw, cin, spec, 7, tol=5e-5)
 
 
+def test_pool_prologue_k3_multi_tile():
+    # pool3a/4a shape (k=(1,3,3) s=(1,2,2)): pre 28 -> post 14, auto ht=2
+    # (7 tiles) — exercises the pooled halo asm incl. the j==0 zero pad
+    _check(1, 4, 28, 28, 16, (8, 4, 8, 4, 8, 8), 0,
+           pool_in=((1, 3, 3), (1, 2, 2)))
+
+
+def test_pool_prologue_k3_temporal():
+    # pool4a temporal kernel (3,3,3) stride (1,2,2)
+    _check(1, 4, 28, 28, 16, (8, 4, 8, 4, 8, 8), 0,
+           pool_in=((3, 3, 3), (1, 2, 2)))
+
+
+def test_pool_prologue_k2_fine_tiles():
+    # pool5a shape (k=(2,2,2) s=(1,2,2)): pre 14 -> post 7, auto ht=1
+    _check(1, 4, 14, 14, 16, (8, 4, 8, 4, 8, 8), 0,
+           pool_in=((2, 2, 2), (1, 2, 2)))
+
+
+def test_pool_prologue_single_tile():
+    # n_h == 1 pooled path (capped pre block + else-branch bottom zeroing)
+    _check(2, 3, 14, 14, 16, (8, 4, 8, 4, 8, 8), 7,
+           pool_in=((1, 3, 3), (1, 2, 2)))
+
+
+def test_avg_tail():
+    # Mixed_5c epilogue: AvgPool3d((2,H,W), valid) inside the kernel
+    _check(2, 4, 7, 7, 16, (8, 4, 8, 4, 8, 8), 0, avg_tail=True)
+
+
+def test_pool_prologue_and_avg_tail_combined():
+    _check(1, 3, 14, 14, 16, (8, 4, 8, 4, 8, 8), 0,
+           pool_in=((2, 2, 2), (1, 2, 2)), avg_tail=True)
+
+
+@pytest.mark.slow
+def test_real_shapes_pooled():
+    """The three real absorbed-pool module shapes (Mixed_3b/4b/5b) and the
+    real avg_tail module (Mixed_5c), reduced T."""
+    specs = dict(_I3D_STAGES)
+    _check(1, 3, 56, 56, 192, specs["Mixed_3b"], 0, tol=5e-5,
+           pool_in=((1, 3, 3), (1, 2, 2)))
+    _check(1, 3, 28, 28, 480, specs["Mixed_4b"], 0, tol=5e-5,
+           pool_in=((3, 3, 3), (1, 2, 2)))
+    _check(1, 3, 14, 14, 832, specs["Mixed_5b"], 0, tol=5e-5,
+           pool_in=((2, 2, 2), (1, 2, 2)))
+    _check(1, 3, 7, 7, 832, specs["Mixed_5c"], 0, tol=5e-5, avg_tail=True)
+
+
+def test_model_integrated_absorbed_path():
+    """InceptionModule(fused=True, pool_in, avg_tail) — in-model wiring of
+    the absorbed kernel matches the unfused XLA path."""
+    spec = (8, 4, 8, 4, 8, 8)
+    kw = dict(pool_in=((1, 3, 3), (1, 2, 2)), avg_tail=True)
+    x = jax.nn.relu(jax.random.normal(
+        jax.random.PRNGKey(5), (2, 3, 14, 14, 16), jnp.float32))
+    m0 = InceptionModule(16, spec, fused=False, **kw)
+    v = _random_module_vars(m0, x)
+    ref = m0.apply(v, x)
+    m1 = InceptionModule(16, spec, fused=True, **kw)
+    old = ip._FORCE_INTERPRET
+    ip._FORCE_INTERPRET = True
+    try:
+        out = m1.apply(v, x)
+    finally:
+        ip._FORCE_INTERPRET = old
+    assert out.shape == ref.shape
+    rel = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 2e-5, rel
+
+
+def test_unabsorbable_pool_falls_back():
+    """Odd pre-pool maps (native-112's 7x7 pre-5a) can't be absorbed by
+    the kernel; the fused path must pool outside and still match."""
+    spec = (8, 4, 8, 4, 8, 8)
+    kw = dict(pool_in=((2, 2, 2), (1, 2, 2)))
+    x = jax.nn.relu(jax.random.normal(
+        jax.random.PRNGKey(6), (1, 3, 7, 7, 16), jnp.float32))  # pre 7x7
+    m0 = InceptionModule(16, spec, fused=False, **kw)
+    v = _random_module_vars(m0, x)
+    ref = m0.apply(v, x)
+    m1 = InceptionModule(16, spec, fused=True, **kw)
+    old = ip._FORCE_INTERPRET
+    ip._FORCE_INTERPRET = True
+    try:
+        out = m1.apply(v, x)
+    finally:
+        ip._FORCE_INTERPRET = old
+    rel = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 2e-5, rel
+
+
 def test_model_integrated_fused_path():
     """InceptionModule(fused=True) — the in-model folding/wiring path
     (child variable access order, dtype resolution) matches fused=False."""
@@ -131,6 +227,28 @@ def test_fused_init_creates_same_tree():
     v0 = InceptionModule(16, spec, fused=False).init(jax.random.PRNGKey(0), x)
     v1 = InceptionModule(16, spec, fused=True).init(jax.random.PRNGKey(0), x)
     assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+
+
+@pytest.mark.slow
+def test_full_backbone_fused_matches_xla():
+    """InceptionI3d(fused_inception=True) == fused=False through the whole
+    backbone (stem, absorbed pools, all 9 modules, absorbed avg tail) on a
+    reduced 64px input — the exact graph the chip runs, CPU interpret."""
+    from jmt_tpu.models.i3d import InceptionI3d
+    x = jax.nn.relu(jax.random.normal(
+        jax.random.PRNGKey(7), (1, 3, 64, 64, 3), jnp.float32))
+    m0 = InceptionI3d(fused_inception=False)
+    v = m0.init(jax.random.PRNGKey(0), x)
+    ref = m0.apply(v, x)
+    old = ip._FORCE_INTERPRET
+    ip._FORCE_INTERPRET = True
+    try:
+        out = InceptionI3d(fused_inception=True).apply(v, x)
+    finally:
+        ip._FORCE_INTERPRET = old
+    assert out.shape == ref.shape
+    rel = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
+    assert rel < 5e-5, rel
 
 
 def test_fold_bn_algebra():
