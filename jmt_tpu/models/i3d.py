@@ -174,7 +174,8 @@ class InceptionModule(nn.Module):
         """The Pallas kernel computes the absorbed pool only for the
         reference shapes (kernel (1|2|3,k,k), k in {2,3}, stride (1,2,2))
         on even pre-pool maps; anything else pools outside the kernel."""
-        if self.pool_in is None:
+        from jmt_tpu.ops.inception_pallas import _ABSORB_POOLS
+        if self.pool_in is None or not _ABSORB_POOLS:
             return False
         (kt, kh, kw), st = self.pool_in
         return (tuple(st) == (1, 2, 2) and kh == kw and kh in (2, 3)

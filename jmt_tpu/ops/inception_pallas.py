@@ -65,16 +65,28 @@ def fused_default_enabled() -> bool:
 
     Measured (v5e-1, bf16, 128 clips): the fused kernel wins the ISOLATED
     inception trunk (62.6 ms vs 67.9 XLA, all modules incl. Mixed_5) but
-    LOSES inside the full I3D backbone (112.1 vs 106.1 ms) and the full
-    flagship model (156.4 vs 151.6 ms). Localization: the trunk bench's
-    entry is a free program argument; in-model the two XLA<->Pallas
-    boundary seams (stem->Mixed_3b, Mixed_5c->tail) cost ~11-12 ms — the
-    custom-call edge breaks XLA's cross-op scheduling/DMA overlap, same
-    structural effect as round 2's fused pool+1x1 negative result. The
-    kernel remains opt-in (i3d_fused_inception=True) and the in-progress
-    seam fix is pool/tail ABSORPTION (pool-prologue + avgpool-epilogue)
-    so the kernel region touches XLA only where a tensor must exist in
-    HBM anyway. CPU never fuses (interpret-mode Pallas is test-only)."""
+    LOSES inside the full I3D backbone and flagship, in every seam
+    configuration tried:
+
+        config                    i3d backbone   flagship
+        XLA path                  105.7-105.9    150.7-151.2 ms
+        fused (bare kernel)       112.1          156.4
+        fused + avg-tail absorb   112.6          156.7
+        fused + pool+tail absorb  122.5          162.7
+
+    The avg-tail epilogue (Mixed_5c -> tail avgpool inside the kernel,
+    98x smaller HBM output) is perf-NEUTRAL — so the Mixed_5c->tail seam
+    was not the cost. Pool-prologue absorption LOSES ~10 ms: staying
+    under the 16 MB scoped-VMEM limit with the pre-pool scratch + the
+    2x-wide double-buffered input block forces fine H tiles (3b ht 4->2,
+    4b 7->2, 5b 7->1; ht=4 at pooled-28 is 19.4 MB, AOT-measured) and
+    grid granularity costs more than the absorbed seam saves. Remaining
+    in-model deficit is the stem->Mixed_3b entry boundary plus XLA's
+    cross-op scheduling/DMA overlap that a custom-call edge breaks —
+    the same structural effect as round 2's fused pool+1x1 negative
+    result, now confirmed across four configurations. The kernel remains
+    opt-in (i3d_fused_inception=True, avg-tail absorbed, pools not).
+    CPU never fuses (interpret-mode Pallas is test-only)."""
     try:
         return (_FUSED_AUTO_ON_TPU
                 and jax.devices()[0].platform in ("tpu", "axon"))
@@ -85,6 +97,16 @@ def fused_default_enabled() -> bool:
 # model-level 'auto' gate; flip when the seam-absorbing kernel variants
 # (pool prologue / avgpool epilogue) beat the XLA path END-TO-END
 _FUSED_AUTO_ON_TPU = False
+
+# pool-prologue gate for the fused path (models/i3d._pool_absorbable).
+# MEASURED OFF (v5e-1, 128 clips): absorbing the pools forces fine H
+# tiles to stay under the 16 MB scoped-VMEM limit (pooled modules carry
+# the pre-pool scratch + a 2x-wide double-buffered input block; ht=4 at
+# pooled-28 = 19.4 MB AOT-measured), and the finer grids cost more than
+# the absorbed seam saves: i3d backbone fused 122.5 ms with pools
+# absorbed vs 112.1 bare vs 105.7 XLA. avg_tail absorption (no tile
+# change, 98x smaller output) is kept unconditionally.
+_ABSORB_POOLS = False
 
 
 class FoldedInception(NamedTuple):
@@ -368,10 +390,11 @@ def inception_module_fused(x: jnp.ndarray, fw: FoldedInception,
         # (ht=2) and 7x7 (ht=1, C=832 pre tile) to stay inside VMEM.
         if avg_tail:
             ht = H  # avg_tail needs the full map in one tile
-        elif pool_in is not None and H == 14:
-            ht = 2
-        elif pool_in is not None and H == 7:
-            ht = 1
+        elif pool_in is not None:
+            # pooled modules carry the pre-pool scratch + a 2x-wide input
+            # block: ht=4 at pooled-28 was 19.4 MB scoped vmem (>16 limit,
+            # measured AOT); ht=2 (ht=1 at 7x7, where ks=2 allows it)
+            ht = 1 if H == 7 else 2
         else:
             ht = 4 if (H > 14 and H % 4 == 0) else 7
     if H % ht:
