@@ -60,9 +60,14 @@ def bench_jmt_tpu(i3d_input_size=224, b=B, i3d_chunk=0):
         i3d_chunk=i3d_chunk, dtype=jnp.bfloat16)
 
     arrays = make_host_batch(b=b)
-    spec, clips = _preprocess(model, arrays, None, augment=False)
-    variables = model.init(jax.random.PRNGKey(0), spec, clips,
-                           arrays["wavlm"])
+    # init on a 1-window batch: param shapes are batch-independent, and
+    # init always runs the UNCHUNKED backbone paths (nn.scan is bypassed
+    # while initializing) — initializing at B>=12 OOMs before the
+    # chunked step ever runs
+    init_arrays = make_host_batch(b=1)
+    spec1, clips1 = _preprocess(model, init_arrays, None, augment=False)
+    variables = model.init(jax.random.PRNGKey(0), spec1, clips1,
+                           init_arrays["wavlm"])
 
     @jax.jit
     def step(variables, arrays):
