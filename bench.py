@@ -31,7 +31,11 @@ B, S = 8, 16  # batch x clips-per-window: 128 clips/step (measured best
 # the fused I3D stem (round 2); B=12 and B=16 OOM on the I3D stem-output
 # activations even with the 224² input tensor folded away)
 N_WARMUP = 2
-N_ITERS = 8
+# the only true completion barrier on the axon relay is a device->host
+# scalar fetch (~28 ms of RPC tunnel latency per fetch, absent on a real
+# TPU host) — chain enough iterations that the amortized fetch cost
+# (28/N ms) is negligible against the ~150 ms step
+N_ITERS = 32
 
 
 def make_host_batch(b=B, s=S, seed=0):
