@@ -240,6 +240,13 @@ def main():
             print(f"baseline measurement failed: {e}", file=sys.stderr)
             baseline = None
 
+    # honest utilization alongside the torch-CPU multiple (which measures
+    # a CPU baseline, the only torch device in this image): step FLOPs by
+    # XLA cost analysis (tools/flops_analysis.py: 11.76 TF at B=8 x S=16)
+    # over measured step time vs the v5e bf16 peak (197 TFLOP/s)
+    step_tflops = 11.76 * (B * S) / 128
+    mfu = step_tflops * 1e12 / step_dt / 197e12
+
     result = {
         "metric": "flagship_audiovisual_inference_clips_per_sec_per_chip",
         "value": round(ours, 2),
@@ -248,6 +255,7 @@ def main():
                         if baseline else None),
         "p50_request_ms": round(p50_s * 1e3, 2),
         "p50_ms_per_clip": round(p50_s * 1e3 / (B * S), 3),
+        "mfu_vs_197tflops_bf16": round(mfu, 3),
     }
     if native112 is not None:
         result["native112_clips_per_sec"] = round(native112, 2)

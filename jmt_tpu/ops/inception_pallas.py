@@ -108,6 +108,17 @@ _FUSED_AUTO_ON_TPU = False
 # change, 98x smaller output) is kept unconditionally.
 _ABSORB_POOLS = False
 
+# Mosaic scoped-VMEM limit override (MB). None = compiler default (16 MB —
+# the limit every tile-size decision above was measured against; v5e has
+# 128 MB physical VMEM). Raising it unlocks coarser H tiles (fewer grid
+# steps, fatter GEMMs) and makes the pool-absorbed variants fit at the
+# bare tile sizes; sweepable on-chip via tools/vmem_sweep.py.
+_VMEM_LIMIT_MB = None
+
+# sweep hook: (H, pooled: bool) -> ht override for the in-model path
+# (inception_module_fused's auto tile table), settable per-experiment
+_HT_TABLE: dict = {}
+
 
 class FoldedInception(NamedTuple):
     """BN-folded weights for one inception module (biases f32)."""
@@ -354,7 +365,8 @@ def inception_module_fused(x: jnp.ndarray, fw: FoldedInception,
                            out_channels: Sequence[int], *,
                            pool_in=None, avg_tail: bool = False,
                            ht: int = 0, interpret: bool = False,
-                           acc_dtype=jnp.float32) -> jnp.ndarray:
+                           acc_dtype=jnp.float32,
+                           vmem_limit_mb=None) -> jnp.ndarray:
     """x: (N, T, H, W, C) NONNEGATIVE (post-ReLU/pool — required for the
     zero-pad == -inf-pad maxpool equivalence). Returns the module output
     (N, T, H, W, o0+o2+o4+o5), concat layout identical to the XLA path.
@@ -383,6 +395,9 @@ def inception_module_fused(x: jnp.ndarray, fw: FoldedInception,
     else:
         ks_t = ks = 0
         n, T, H, W, C = x.shape
+    lim = vmem_limit_mb if vmem_limit_mb is not None else _VMEM_LIMIT_MB
+    if not ht:
+        ht = int(_HT_TABLE.get((H, pool_in is not None), 0))
     if not ht:
         # 28x28 maps sit ~1 MB over the 16 MB VMEM limit at ht=7 — use
         # finer tiles there; 14/7 run one-or-two 7-row tiles. Pooled
@@ -390,6 +405,11 @@ def inception_module_fused(x: jnp.ndarray, fw: FoldedInception,
         # (ht=2) and 7x7 (ht=1, C=832 pre tile) to stay inside VMEM.
         if avg_tail:
             ht = H  # avg_tail needs the full map in one tile
+        elif lim is not None and lim >= 32:
+            # raised scoped-VMEM limit: coarse tiles (pooled-28 ht=4 was
+            # 19.4 MB AOT-measured — fits at >=32; non-pooled-28 ht=7 was
+            # ~17 MB). Sweepable finer via _HT_TABLE.
+            ht = 7 if H % 7 == 0 else H
         elif pool_in is not None:
             # pooled modules carry the pre-pool scratch + a 2x-wide input
             # block: ht=4 at pooled-28 was 19.4 MB scoped vmem (>16 limit,
@@ -455,6 +475,10 @@ def inception_module_fused(x: jnp.ndarray, fw: FoldedInception,
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((n, T, H, W, co), x.dtype)
 
+    extra = {}
+    if lim is not None and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=int(lim) * 2**20)
     return pl.pallas_call(
         kern,
         grid=(n, n_h),
@@ -466,6 +490,7 @@ def inception_module_fused(x: jnp.ndarray, fw: FoldedInception,
             flops=flops, bytes_accessed=(x.size + int(np.prod(
                 out_shape.shape))) * x.dtype.itemsize, transcendentals=0),
         interpret=interpret,
+        **extra,
     )(x, fw.k1, fw.b1, fw.kb1, fw.bb1, fw.kb2, fw.bb2, fw.k3, fw.b3)
 
 

@@ -47,7 +47,7 @@ def _fold_from_vars(v, dtype=jnp.float32):
 
 
 def _check(N, T, H, W, C, spec, ht, tol=2e-5, pool_in=None,
-           avg_tail=False):
+           avg_tail=False, vmem_limit_mb=None):
     """pool_in/avg_tail: H, W are the PRE-pool spatial size; the unfused
     InceptionModule applies the same absorbed ops on its XLA path."""
     m = InceptionModule(C, spec, pool_in=pool_in, avg_tail=avg_tail)
@@ -57,6 +57,7 @@ def _check(N, T, H, W, C, spec, ht, tol=2e-5, pool_in=None,
     ref = m.apply(v, x)
     out = ip.inception_module_fused(x, _fold_from_vars(v), spec, ht=ht,
                                     pool_in=pool_in, avg_tail=avg_tail,
+                                    vmem_limit_mb=vmem_limit_mb,
                                     interpret=True)
     assert out.shape == ref.shape, (out.shape, ref.shape)
     rel = float(jnp.max(jnp.abs(out - ref))) / float(jnp.max(jnp.abs(ref)))
@@ -81,6 +82,24 @@ def test_four_tiles_28x28():
 def test_auto_ht_28x28_uses_fine_tiles():
     # the auto tile choice at 28x28 (ht=4, 7 tiles) — the shipped config
     _check(1, 4, 28, 28, 24, (8, 4, 8, 4, 8, 8), 0)
+
+
+def test_coarse_tiles_raised_vmem_limit():
+    # raised scoped-VMEM limit (>=32 MB) switches the auto tile table to
+    # coarse tiles: non-pooled 28x28 -> ht=7 (4 tiles), pooled pre-28 ->
+    # post-14 ht=7 (2 tiles) — the tools/vmem_sweep.py configuration
+    _check(1, 4, 28, 28, 24, (8, 4, 8, 4, 8, 8), 0, vmem_limit_mb=96)
+    _check(1, 4, 28, 28, 16, (8, 4, 8, 4, 8, 8), 0, vmem_limit_mb=96,
+           pool_in=((1, 3, 3), (1, 2, 2)))
+
+
+def test_ht_table_override():
+    # the sweep hook overrides the auto tile choice per (H, pooled)
+    ip._HT_TABLE[(28, False)] = 14
+    try:
+        _check(1, 4, 28, 28, 24, (8, 4, 8, 4, 8, 8), 0)
+    finally:
+        ip._HT_TABLE.clear()
 
 
 def test_uneven_ht_falls_back_to_full():
