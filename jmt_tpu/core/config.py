@@ -173,6 +173,12 @@ class ModelParams:
     # frozen-BN only): bounds stem activations at O(chunk), raising the
     # batch knee past the B>=12 OOM. 0 = off.
     i3d_chunk: int = 0
+    # BN mode while finetuning unfrozen backbones: "batch" = reference
+    # parity (model.eval() + selective .train(True), train.py:27-42);
+    # "frozen" = running-stats BN with grads still flowing (standard
+    # small-batch finetune practice; avoids the train-BN batch-stat
+    # reductions that dominate the measured I3D backward).
+    finetune_bn: str = "batch"
 
     def __post_init__(self):
         if isinstance(self.l_vision_backbones, str):
@@ -214,6 +220,7 @@ class ModelParams:
             self.i3d_fused_inception = _as_bool(self.i3d_fused_inception)
         assert self.remat_granularity in ("backbone", "stage"), \
             self.remat_granularity
+        assert self.finetune_bn in ("batch", "frozen"), self.finetune_bn
 
 
 @dataclass

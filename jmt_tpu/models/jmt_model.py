@@ -41,6 +41,10 @@ class JMTModel(nn.Module):
     r2d1_reduce: str = "MAX"
     goal: str = "TRAINING"
     finetune: Sequence[str] = ()  # backbones NOT frozen (main.py:412-466)
+    # "batch" = reference parity (train-mode BN for finetuned backbones,
+    # train.py:27-42); "frozen" = running-stats BN while finetuning
+    # (opt-in, see tsav.TwoStreamBackbones.finetune_bn_frozen)
+    finetune_bn: str = "batch"
     remat: bool = False           # rematerialize backbones in backward
     remat_granularity: str = "backbone"   # "backbone" | "stage"
     i3d_input_size: int = 224     # 112 = native-resolution option
@@ -62,7 +66,9 @@ class JMTModel(nn.Module):
             vision_backbones=tuple(self.vision_backbones),
             audio_backbones=tuple(self.audio_backbones),
             r2d1_arch=self.r2d1_arch, r2d1_reduce=self.r2d1_reduce,
-            finetune=tuple(self.finetune), remat=self.remat,
+            finetune=tuple(self.finetune),
+            finetune_bn_frozen=self.finetune_bn == "frozen",
+            remat=self.remat,
             remat_granularity=self.remat_granularity,
             i3d_input_size=self.i3d_input_size,
             i3d_fused_inception=bool(fused),
@@ -186,6 +192,7 @@ def model_from_config(cfg) -> JMTModel:
         v_dropout=mp.v_dropout, a_dropout=mp.a_dropout,
         r2d1_reduce=mp.R2D1_ft_dim_reduce,
         goal=cfg.goal, finetune=tuple(finetune),
+        finetune_bn=mp.finetune_bn,
         remat=mp.remat_backbones, remat_granularity=mp.remat_granularity,
         i3d_input_size=mp.i3d_input_size,
         i3d_fused_inception=mp.i3d_fused_inception,

@@ -50,6 +50,13 @@ class TwoStreamBackbones(nn.Module):
     # backbones being finetuned: their BN uses batch stats when train=True
     # (the reference's model.eval() + selective .train(True), train.py:27-42)
     finetune: Sequence[str] = ()
+    # finetune with BN in eval mode (running stats; grads still flow to
+    # conv weights and BN scale/bias). NOT reference parity — opt-in via
+    # model_params.finetune_bn="frozen". Standard finetune practice at
+    # small per-device batches, and it removes the train-BN batch-stat
+    # reductions that dominate the measured I3D backward (STATUS.md:
+    # I3D bwd runs ~3.7x its fwd in train-BN mode)
+    finetune_bn_frozen: bool = False
     # rematerialize backbone activations in the backward pass
     # (jax.checkpoint): trades ~1 extra forward for O(depth) less HBM —
     # enables full-finetune at batch sizes the activations wouldn't fit
@@ -117,6 +124,8 @@ class TwoStreamBackbones(nn.Module):
         feats: Dict[str, jnp.ndarray] = {}
 
         def ura(name: str) -> bool:
+            if self.finetune_bn_frozen:
+                return True
             return not (train and name in self.finetune)
 
         if "ResNet18" in self.audio_backbones:

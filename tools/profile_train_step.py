@@ -43,6 +43,14 @@ VARIANTS = {
     "ft_r2d1": dict(finetune=("R2D1",), remat=False),
     "ft_i3d": dict(finetune=("I3D",), remat=False),
     "ft_audio": dict(finetune=("ResNet18",), remat=False),
+    # frozen-BN finetune (model_params.finetune_bn="frozen", NOT parity):
+    # running-stats BN with grads flowing — removes the train-BN batch-stat
+    # reductions that dominate the I3D backward; also the i3d finetune
+    # isolation under it, to attribute the win
+    "finetune_frozenbn": dict(finetune=("R2D1", "I3D", "ResNet18"),
+                              remat=False, finetune_bn="frozen"),
+    "ft_i3d_frozenbn": dict(finetune=("I3D",), remat=False,
+                            finetune_bn="frozen"),
 }
 
 
@@ -59,6 +67,7 @@ def main(variant="frozen", b=8, s=16, iters=8):
         joint_modalities="TRANSFORMER", output_format="SELF_ATTEN",
         finetune=spec["finetune"], remat=spec["remat"],
         remat_granularity=spec.get("granularity", "backbone"),
+        finetune_bn=spec.get("finetune_bn", "batch"),
         dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
