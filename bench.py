@@ -48,7 +48,8 @@ def make_host_batch(b=B, s=S, seed=0):
     }
 
 
-def bench_jmt_tpu(i3d_input_size=224, b=B, i3d_chunk=0):
+def bench_jmt_tpu(i3d_input_size=224, b=B, i3d_chunk=0, scoped_vmem_kib=0):
+    import functools
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, REPO)
@@ -73,13 +74,17 @@ def bench_jmt_tpu(i3d_input_size=224, b=B, i3d_chunk=0):
     variables = model.init(jax.random.PRNGKey(0), spec1, clips1,
                            init_arrays["wavlm"])
 
-    @jax.jit
+    # optional XLA scoped-VMEM fusion-budget override (tools/vmem_sweep.py)
+    copts = ({"xla_tpu_scoped_vmem_limit_kib": str(scoped_vmem_kib)}
+             if scoped_vmem_kib else None)
+
+    @functools.partial(jax.jit, compiler_options=copts)
     def step(variables, arrays):
         spec, clips = _preprocess(model, arrays, None, augment=False)
         return model.apply(variables, spec, clips, arrays["wavlm"],
                            train=False)
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=copts)
     def step_sum(variables, arrays):
         vouts, aouts = step(variables, arrays)
         return vouts.sum() + aouts.sum()
@@ -201,7 +206,10 @@ def measure_torch_baseline():
 
 
 def main():
-    ours, step_dt, p50_s = bench_jmt_tpu()
+    kib = 0
+    if "--scoped-vmem" in sys.argv:
+        kib = int(sys.argv[sys.argv.index("--scoped-vmem") + 1])
+    ours, step_dt, p50_s = bench_jmt_tpu(scoped_vmem_kib=kib)
 
     # opt-in secondary metric: the native-112 I3D config (exact same
     # pipeline minus the information-free 112->224 upsample; NOT

@@ -264,6 +264,10 @@ class Config:
     # over (dcn x data) jointly, XLA reduces gradients hierarchically
     # (ICI within a slice, DCN across slices). 1 = single slice.
     mesh_dcn: int = 1
+    # raise XLA's scoped-VMEM fusion budget (KiB) for the jitted steps
+    # (--xla_tpu_scoped_vmem_limit_kib; 0 = compiler default of 16 MB).
+    # v5e has 128 MB physical VMEM — sweep via tools/vmem_sweep.py.
+    xla_scoped_vmem_kib: int = 0
     # observability: write a jax.profiler trace of a few train steps of
     # `profile_epoch` into profile_dir (the reference has no tracing at all,
     # SURVEY.md §5.1 — only coarse epoch wall-clocks)

@@ -81,12 +81,28 @@ def _preprocess(model, arrays: Dict[str, Any], key: Optional[jax.Array],
     return spec, clips
 
 
+def compiler_options_from_cfg(cfg) -> Optional[Dict[str, str]]:
+    """XLA compiler-option overrides for the jitted steps.
+
+    cfg.xla_scoped_vmem_kib > 0 raises XLA's scoped-VMEM fusion budget
+    (--xla_tpu_scoped_vmem_limit_kib; Mosaic/XLA default 16 MB on v5e
+    with 128 MB physical VMEM) — sweepable on-chip via
+    tools/vmem_sweep.py before changing the default."""
+    kib = getattr(cfg, "xla_scoped_vmem_kib", 0)
+    if kib:
+        return {"xla_tpu_scoped_vmem_limit_kib": str(int(kib))}
+    return None
+
+
 def make_train_step(model, tx, more_vision_augm: bool = False,
-                    more_audio_augm: bool = False) -> Callable:
+                    more_audio_augm: bool = False,
+                    compiler_options: Optional[Dict[str, str]] = None
+                    ) -> Callable:
     """Returns jitted train_step(state, arrays, key) ->
     (state, loss, vouts, aouts)."""
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       compiler_options=compiler_options)
     def train_step(state: TrainState, arrays: Dict[str, Any],
                    key: jax.Array):
         pre_key, drop_key = jax.random.split(key)
@@ -129,10 +145,12 @@ def make_train_step(model, tx, more_vision_augm: bool = False,
     return train_step
 
 
-def make_eval_step(model) -> Callable:
+def make_eval_step(model,
+                   compiler_options: Optional[Dict[str, str]] = None
+                   ) -> Callable:
     """Returns jitted eval_step(state, arrays) -> (vouts, aouts)."""
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=compiler_options)
     def eval_step(state: TrainState, arrays: Dict[str, Any]):
         spec, clips = _preprocess(model, arrays, None, augment=False)
         params = merge_params(state.trainable, state.frozen)

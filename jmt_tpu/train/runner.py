@@ -32,7 +32,8 @@ from jmt_tpu.models.jmt_model import model_from_config
 from jmt_tpu.ops.ccc import ccc_metric
 from jmt_tpu.train import optim as O
 from jmt_tpu.train.loops import (make_train_step, make_eval_step, init_state,
-                                 device_batch, batches_from_dataset)
+                                 device_batch, batches_from_dataset,
+                                 compiler_options_from_cfg)
 from jmt_tpu.data.loader import PrefetchLoader
 from jmt_tpu.train.state import TrainState
 from jmt_tpu.eval.stitch import Stitcher, write_challenge_txt
@@ -72,11 +73,13 @@ class Runner:
                         if cfg.model_params.opt.name_lr_scheduler
                         == "reduce_on_plateau"
                         and cfg.model_params.opt.lr_scheduler else None)
+        copts = compiler_options_from_cfg(cfg)
         self.train_step = make_train_step(
             self.model, self.tx,
             more_vision_augm=cfg.train_params.use_more_vision_data_augm,
-            more_audio_augm=cfg.train_params.use_more_audio_data_augm)
-        self.eval_step = make_eval_step(self.model)
+            more_audio_augm=cfg.train_params.use_more_audio_data_augm,
+            compiler_options=copts)
+        self.eval_step = make_eval_step(self.model, compiler_options=copts)
         self.state: Optional[TrainState] = None
         self.tracker: Dict[str, list] = {"train_v": [], "train_a": [],
                                          "valid_v": [], "valid_a": []}
