@@ -31,13 +31,65 @@ import jax
 import jax.numpy as jnp
 
 
+class WavLMFrontend:
+    """Server-side WavLM features from the request's raw audio chunks.
+
+    Training-time wavLM features are per-anchor-frame embeddings of the
+    FULL audio track (offline: data/wavlm_extract.py). A live request
+    only carries each subsequence's ~1 s wav chunk, whose END is the
+    anchor instant — so the frontend runs WavLM over the chunk (one AOT
+    compile per bucket; host-side 44.1k->16k polyphase resample) and
+    emits the LAST WavLM frame. Context is truncated to the chunk by
+    construction; use the offline extractor when full-track features are
+    available.
+    """
+
+    def __init__(self, params, cfg, sample_rate: int = 44100,
+                 audio_samples: Optional[int] = None):
+        from jmt_tpu.models.wavlm import wavlm_apply
+        from jmt_tpu.ops.mel import AUDIO_SAMPLES
+        from jmt_tpu.data.wavlm_extract import WAVLM_SR
+        self.cfg = cfg
+        self.sr = sample_rate
+        self.audio_samples = audio_samples or AUDIO_SAMPLES
+        from math import gcd
+        g = gcd(self.sr, WAVLM_SR)
+        self._up, self._down = WAVLM_SR // g, self.sr // g
+        self._params = params
+
+        def fn(params, wav):  # wav: (N, L16) normalized
+            return wavlm_apply(params, wav, cfg)[:, -1, :]
+
+        self._fn = jax.jit(fn)
+
+    def features(self, audio: np.ndarray) -> np.ndarray:
+        """(B, S, A) raw chunks at self.sr -> (B, S, hidden) f32."""
+        from scipy.signal import resample_poly
+        b, s, a = audio.shape
+        flat = audio.reshape(b * s, a).astype(np.float32)
+        w16 = resample_poly(flat, self._up, self._down, axis=1)
+        w16 = w16.astype(np.float32)
+        mu = w16.mean(axis=1, keepdims=True)
+        sd = w16.std(axis=1, keepdims=True)
+        w16 = (w16 - mu) / (sd + 1e-7)
+        out = np.asarray(self._fn(self._params, w16), np.float32)
+        return out.reshape(b, s, -1)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw) -> "WavLMFrontend":
+        from jmt_tpu.data.wavlm_extract import load_torch_checkpoint
+        params, cfg = load_torch_checkpoint(path)
+        return cls(params, cfg, **kw)
+
+
 class InferenceServer:
     """AOT-compiled fixed-bucket batched inference on one model state."""
 
     def __init__(self, model, params, batch_stats,
                  seq: int = 16, buckets: Sequence[int] = (1, 8),
                  img_size: int = 112, audio_samples: Optional[int] = None,
-                 use_wavlm: Optional[bool] = None):
+                 use_wavlm: Optional[bool] = None,
+                 wavlm_frontend: Optional[WavLMFrontend] = None):
         from jmt_tpu.ops.mel import AUDIO_SAMPLES
         self.model = model
         self.seq = seq
@@ -45,6 +97,9 @@ class InferenceServer:
         self.audio_samples = audio_samples or AUDIO_SAMPLES
         self.use_wavlm = ("wavLM" in model.audio_backbones
                           if use_wavlm is None else use_wavlm)
+        self.wavlm_frontend = wavlm_frontend
+        self.wavlm_dim = (wavlm_frontend.cfg.hidden_size
+                          if wavlm_frontend is not None else 768)
         self.buckets = sorted(set(int(b) for b in buckets))
         self.variables = {
             "params": jax.device_put(params),
@@ -63,7 +118,8 @@ class InferenceServer:
                                jnp.float32),
         }
         if self.use_wavlm:
-            arrays["wavlm"] = jnp.zeros((b, self.seq, 768), jnp.float32)
+            arrays["wavlm"] = jnp.zeros((b, self.seq, self.wavlm_dim),
+                                        jnp.float32)
         return arrays
 
     def _compile(self, b: int):
@@ -106,8 +162,16 @@ class InferenceServer:
         arrays = {"clips": pad(np.asarray(clips)),
                   "audio": pad(np.asarray(audio, np.float32))}
         if self.use_wavlm:
-            assert wavlm is not None, "model was built with a wavLM path"
-            arrays["wavlm"] = pad(np.asarray(wavlm, np.float32))
+            if wavlm is None and self.wavlm_frontend is not None:
+                # self-contained raw-audio serving: compute the wavLM
+                # features on-device from the request's audio chunks
+                # (on the PADDED batch -> one frontend compile per bucket)
+                arrays["wavlm"] = self.wavlm_frontend.features(
+                    arrays["audio"])
+            else:
+                assert wavlm is not None, \
+                    "model was built with a wavLM path"
+                arrays["wavlm"] = pad(np.asarray(wavlm, np.float32))
         v, a = self._compiled[b](self.variables, arrays)
         return (np.asarray(v, np.float32)[:n], np.asarray(a, np.float32)[:n])
 

@@ -132,3 +132,48 @@ def test_extract_tree_layout(tmp_path):
                                   np.load(dest / "vid_a" / "3.npy"))
     np.testing.assert_array_equal(got[0, 1],
                                   np.load(dest / "vid_b" / "2.npy"))
+
+
+def test_serve_wavlm_frontend(tmp_path):
+    """Raw-audio serving: InferenceServer computes wavLM features via the
+    WavLMFrontend when the request carries none; identical outputs to a
+    request with the same features passed explicitly."""
+    import flax.linen as nn
+    import jax
+    from jmt_tpu.serve import InferenceServer, WavLMFrontend
+
+    _, cfg, params = _tiny()
+
+    class Stub(nn.Module):
+        vision_backbones = ()
+        audio_backbones = ("wavLM",)
+        dtype = None
+
+        @nn.compact
+        def __call__(self, spec, clips, wavlm, train=False):
+            out = nn.Dense(2)(nn.tanh(nn.Dense(8)(wavlm)))
+            return out[..., 0], out[..., 1]
+
+    frontend = WavLMFrontend(params, cfg, sample_rate=44100,
+                             audio_samples=4410)
+    rng = np.random.default_rng(5)
+    seq, a_len = 3, 4410
+    wavlm0 = rng.normal(size=(1, seq, cfg.hidden_size)).astype(np.float32)
+    model = Stub()
+    variables = model.init(jax.random.PRNGKey(0), None, None, wavlm0)
+    server = InferenceServer(model, variables["params"], {}, seq=seq,
+                             buckets=(2,), img_size=8, audio_samples=a_len,
+                             use_wavlm=True, wavlm_frontend=frontend)
+    # frontend consumes the model's wavlm slot -> hidden_size features
+    clips = rng.integers(0, 255, (2, seq, 8, 8, 8, 3), dtype=np.uint8)
+    audio = rng.normal(0, 0.1, (2, seq, a_len)).astype(np.float32)
+
+    v_auto, a_auto = server.predict(clips, audio)        # frontend path
+    feats = frontend.features(audio)
+    assert feats.shape == (2, seq, cfg.hidden_size)
+    v_exp, a_exp = server.predict(clips, audio, feats)   # explicit path
+    np.testing.assert_allclose(v_auto, v_exp, atol=1e-6)
+    np.testing.assert_allclose(a_auto, a_exp, atol=1e-6)
+    # feature rows are per-chunk: padding rows cannot leak into real rows
+    v1, _ = server.predict(clips[:1], audio[:1])
+    np.testing.assert_allclose(v_auto[:1], v1, atol=1e-6)
