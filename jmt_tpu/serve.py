@@ -66,6 +66,7 @@ class WavLMFrontend:
         """(B, S, A) raw chunks at self.sr -> (B, S, hidden) f32."""
         from scipy.signal import resample_poly
         b, s, a = audio.shape
+        assert a == self.audio_samples, (a, self.audio_samples)
         flat = audio.reshape(b * s, a).astype(np.float32)
         w16 = resample_poly(flat, self._up, self._down, axis=1)
         w16 = w16.astype(np.float32)

@@ -5,6 +5,7 @@ side-effects; those are absent here, so we stub just enough for the model
 definitions (pure torch) to import. Reference code is NEVER vendored — it is
 imported read-only to generate golden outputs.
 """
+import importlib.machinery
 import sys
 import types
 
@@ -15,6 +16,10 @@ def _stub(name: str, **attrs):
     if name in sys.modules:
         return sys.modules[name]
     mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec on the stub does not
+    # raise "__spec__ is None" in later importers (e.g. transformers
+    # probing torchvision availability in the same pytest process)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     for k, v in attrs.items():
         setattr(mod, k, v)
     sys.modules[name] = mod
