@@ -374,11 +374,19 @@ if __name__ == "__main__":
     p.add_argument("--buckets", default="1,8")
     p.add_argument("--heavy", action="store_true",
                    help="self-test with the full flagship model")
+    p.add_argument("--wavlm-checkpoint", default=None,
+                   help="torch WavLM state dict: serve raw audio by "
+                        "computing wavLM features server-side "
+                        "(WavLMFrontend)")
     args = p.parse_args()
     buckets = tuple(int(x) for x in args.buckets.split(","))
     if args.exp_dir:
         server = InferenceServer.from_experiment(args.exp_dir,
                                                  buckets=buckets)
+        if args.wavlm_checkpoint and server.use_wavlm:
+            server.wavlm_frontend = WavLMFrontend.from_checkpoint(
+                args.wavlm_checkpoint,
+                audio_samples=server.audio_samples)
         stats = {"buckets": {str(b): {
             "relay": measure_latency(server, b),
             "device_resident": measure_latency(server, b,
