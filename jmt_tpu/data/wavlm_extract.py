@@ -60,7 +60,7 @@ class WavLMExtractor:
     """Compile-once / stream-many WavLM feature extractor."""
 
     def __init__(self, params, cfg, window_s: float = 20.0,
-                 overlap_s: float = 2.0, dtype=None):
+                 overlap_s: float = 2.0, dtype=None, batch: int = 4):
         import jax
         import jax.numpy as jnp
         from jmt_tpu.models.wavlm import wavlm_apply
@@ -74,6 +74,7 @@ class WavLMExtractor:
         assert self.win_frames > 2 * self.ov_frames
         self.win_samples = (self.win_frames - 1) * self.stride \
             + self.receptive
+        self.batch = max(1, int(batch))  # windows per device dispatch
         if dtype is not None:
             params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
         self._params = params
@@ -86,30 +87,38 @@ class WavLMExtractor:
 
     def features(self, wav16k: np.ndarray) -> np.ndarray:
         """Full-track features (T, hidden): overlapped static windows,
-        interior-only stitching. wav16k: float32 (L,) at 16 kHz,
-        UN-normalized — per-window zero-mean/unit-var applied here
-        (matching HF's Wav2Vec2FeatureExtractor do_normalize)."""
+        interior-only stitching, `batch` windows per device dispatch.
+        wav16k: float32 (L,) at 16 kHz, UN-normalized — per-window
+        zero-mean/unit-var applied here (matching HF's
+        Wav2Vec2FeatureExtractor do_normalize)."""
         n = len(wav16k)
         total = max(1, (max(0, n - self.receptive) // self.stride) + 1)
         hop = self.win_frames - 2 * self.ov_frames
-        out = np.zeros((total, self.cfg.hidden_size), np.float32)
+        # window placements: interior [start, start+hop) kept, shifted
+        # left for ov_frames of context (clamped at the track ends)
+        plans = []  # (w0, lo, hi) in window-local frame coords
         start_f = 0
         while start_f < total:
-            # window whose interior [start_f, start_f + hop) we keep;
-            # shift left so the window has ov_frames of left context
             w0 = max(0, start_f - self.ov_frames)
             w0 = min(w0, max(0, total - self.win_frames))
-            s0 = w0 * self.stride
-            chunk = wav16k[s0:s0 + self.win_samples]
-            if len(chunk) < self.win_samples:
-                chunk = np.pad(chunk, (0, self.win_samples - len(chunk)))
-            mu, sd = chunk.mean(), chunk.std()
-            chunk = (chunk - mu) / (sd + 1e-7)
-            feats = np.asarray(self._fn(self._params, chunk[None]))[0]
             lo = start_f - w0
             hi = min(lo + hop, total - w0, self.win_frames)
-            out[w0 + lo:w0 + hi] = feats[lo:hi]
+            plans.append((w0, lo, hi))
             start_f = w0 + hi
+
+        out = np.zeros((total, self.cfg.hidden_size), np.float32)
+        for i in range(0, len(plans), self.batch):
+            part = plans[i:i + self.batch]
+            chunks = np.zeros((self.batch, self.win_samples), np.float32)
+            for j, (w0, _, _) in enumerate(part):
+                s0 = w0 * self.stride
+                c = wav16k[s0:s0 + self.win_samples]
+                chunks[j, :len(c)] = c
+                mu, sd = chunks[j].mean(), chunks[j].std()
+                chunks[j] = (chunks[j] - mu) / (sd + 1e-7)
+            feats = np.asarray(self._fn(self._params, chunks))
+            for j, (w0, lo, hi) in enumerate(part):
+                out[w0 + lo:w0 + hi] = feats[j, lo:hi]
         return out
 
     def per_frame(self, wav16k: np.ndarray, n_frames: int,
