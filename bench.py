@@ -217,7 +217,8 @@ def main():
     # vs 842 parity on v5e-1). Extra heavy compile, so flag-gated.
     native112 = None
     if "--native112" in sys.argv:
-        native112, _, _ = bench_jmt_tpu(i3d_input_size=112)
+        native112, _, _ = bench_jmt_tpu(i3d_input_size=112,
+                                        scoped_vmem_kib=kib)
 
     # opt-in B-sweep past the stem-activation knee: i3d_chunk streams the
     # I3D trunk (models/tsav.py) so B=12/16 no longer OOM. Heavy extra
@@ -227,7 +228,8 @@ def main():
     if "--bsweep" in sys.argv:
         for b_, ck in ((12, 96), (16, 128), (16, 64)):
             try:
-                cps, _, _ = bench_jmt_tpu(b=b_, i3d_chunk=ck)
+                cps, _, _ = bench_jmt_tpu(b=b_, i3d_chunk=ck,
+                                          scoped_vmem_kib=kib)
             except Exception as e:
                 print(f"bsweep B={b_} chunk={ck} failed: {e}",
                       file=sys.stderr)

@@ -88,9 +88,13 @@ class WavLMExtractor:
     def features(self, wav16k: np.ndarray) -> np.ndarray:
         """Full-track features (T, hidden): overlapped static windows,
         interior-only stitching, `batch` windows per device dispatch.
-        wav16k: float32 (L,) at 16 kHz, UN-normalized — per-window
-        zero-mean/unit-var applied here (matching HF's
-        Wav2Vec2FeatureExtractor do_normalize)."""
+        wav16k: float32 (L,) at 16 kHz, UN-normalIZED — zero-mean/unit-var
+        is applied ONCE over the full track here, exactly like HF's
+        Wav2Vec2FeatureExtractor do_normalize on the whole sequence
+        (per-window stats would shift with window content and count the
+        zero padding of the last window)."""
+        wav16k = np.asarray(wav16k, np.float32)
+        wav16k = (wav16k - wav16k.mean()) / (wav16k.std() + 1e-7)
         n = len(wav16k)
         total = max(1, (max(0, n - self.receptive) // self.stride) + 1)
         hop = self.win_frames - 2 * self.ov_frames
@@ -114,8 +118,6 @@ class WavLMExtractor:
                 s0 = w0 * self.stride
                 c = wav16k[s0:s0 + self.win_samples]
                 chunks[j, :len(c)] = c
-                mu, sd = chunks[j].mean(), chunks[j].std()
-                chunks[j] = (chunks[j] - mu) / (sd + 1e-7)
             feats = np.asarray(self._fn(self._params, chunks))
             for j, (w0, lo, hi) in enumerate(part):
                 out[w0 + lo:w0 + hi] = feats[j, lo:hi]
@@ -123,11 +125,14 @@ class WavLMExtractor:
 
     def per_frame(self, wav16k: np.ndarray, n_frames: int,
                   fps: float) -> np.ndarray:
-        """(n_frames, hidden): nearest WavLM frame per video frame."""
+        """(n_frames, hidden): nearest WavLM frame per video frame.
+        WavLM frame k covers samples [k*stride, k*stride + receptive),
+        center k*stride + receptive/2 — nearest is by CENTER distance."""
         feats = self.features(wav16k)
         t = (np.arange(n_frames) + 0.5) / fps
-        idx = np.clip(np.round(t * WAVLM_SR / self.stride).astype(int),
-                      0, len(feats) - 1)
+        idx = np.clip(np.round(
+            (t * WAVLM_SR - self.receptive / 2) / self.stride).astype(int),
+            0, len(feats) - 1)
         return feats[idx]
 
 

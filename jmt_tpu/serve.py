@@ -179,7 +179,9 @@ class InferenceServer:
     # ------------------------------------------------------------------
     @classmethod
     def from_experiment(cls, exp_dir: str, buckets: Sequence[int] = (1, 8),
-                        weights: str = "auto") -> "InferenceServer":
+                        weights: str = "auto",
+                        wavlm_frontend: Optional["WavLMFrontend"] = None
+                        ) -> "InferenceServer":
         """Build from a finished training run: final_config.yml + the BEST
         per-component weights (or the final train_state)."""
         import os
@@ -206,7 +208,8 @@ class InferenceServer:
         else:
             runner.state = ckpt.restore_train_state(wdir, runner.state)
         return cls(runner.model, runner.state.params(),
-                   runner.state.batch_stats, buckets=buckets)
+                   runner.state.batch_stats, buckets=buckets,
+                   wavlm_frontend=wavlm_frontend)
 
 
 class StreamingSession:
@@ -294,11 +297,17 @@ def measure_latency(server: InferenceServer, bucket: int,
                                   server.img, 3), dtype=np.uint8)
     audio = (rng.normal(size=(bucket, server.seq, server.audio_samples))
              * 0.1).astype(np.float32)
-    wavlm = (rng.normal(size=(bucket, server.seq, 768)).astype(np.float32)
-             if server.use_wavlm else None)
+    # with a WavLMFrontend attached, measure the RAW-AUDIO path (the
+    # frontend computes features per request); otherwise synthesize
+    # precomputed features of the server's configured dim
+    wavlm = (None if server.wavlm_frontend is not None else
+             rng.normal(size=(bucket, server.seq, server.wavlm_dim))
+             .astype(np.float32)) if server.use_wavlm else None
     if device_input:
         arrays = {"clips": clips, "audio": audio}
         if server.use_wavlm:
+            if wavlm is None:  # frontend server: pre-stage its features
+                wavlm = server.wavlm_frontend.features(audio)
             arrays["wavlm"] = wavlm
         dev = jax.device_put(arrays)
         fn = server._compiled[bucket]
@@ -381,12 +390,14 @@ if __name__ == "__main__":
     args = p.parse_args()
     buckets = tuple(int(x) for x in args.buckets.split(","))
     if args.exp_dir:
+        # frontend FIRST: the server AOT-compiles its buckets with the
+        # frontend's feature dim at construction, and measure_latency
+        # exercises the raw-audio path when a frontend is attached
+        frontend = (WavLMFrontend.from_checkpoint(args.wavlm_checkpoint)
+                    if args.wavlm_checkpoint else None)
         server = InferenceServer.from_experiment(args.exp_dir,
-                                                 buckets=buckets)
-        if args.wavlm_checkpoint and server.use_wavlm:
-            server.wavlm_frontend = WavLMFrontend.from_checkpoint(
-                args.wavlm_checkpoint,
-                audio_samples=server.audio_samples)
+                                                 buckets=buckets,
+                                                 wavlm_frontend=frontend)
         stats = {"buckets": {str(b): {
             "relay": measure_latency(server, b),
             "device_resident": measure_latency(server, b,

@@ -16,18 +16,10 @@ from jmt_tpu.models.wavlm import WavLMConfig, wavlm_apply
 
 def _tiny():
     import torch
-    from transformers import WavLMConfig as HFConfig, WavLMModel
+    from transformers import WavLMModel
+    from test_wavlm import _tiny_hf_config  # one tiny geometry, shared
     torch.manual_seed(3)
-    hf = HFConfig(
-        hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
-        intermediate_size=48,
-        conv_dim=(12, 12, 16), conv_stride=(4, 2, 2), conv_kernel=(6, 3, 3),
-        num_feat_extract_layers=3,
-        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
-        num_buckets=14, max_bucket_distance=50,
-        hidden_dropout=0.0, attention_dropout=0.0, feat_proj_dropout=0.0,
-        layerdrop=0.0, do_stable_layer_norm=False,
-        feat_extract_norm="group")
+    hf = _tiny_hf_config()
     tm = WavLMModel(hf).eval()
     cfg = WavLMConfig.from_hf(hf)
     from jmt_tpu.models.wavlm import wavlm_params_from_torch
@@ -55,8 +47,10 @@ def test_single_window_matches_direct():
     out = ex.features(wav)
     assert out.shape == (total, cfg.hidden_size)
 
-    chunk = np.pad(wav, (0, ex.win_samples - len(wav)))
-    chunk = (chunk - chunk.mean()) / (chunk.std() + 1e-7)
+    # features() normalizes over the FULL track (HF do_normalize
+    # semantics), THEN windows/pads — replicate exactly
+    norm = (wav - wav.mean()) / (wav.std() + 1e-7)
+    chunk = np.pad(norm, (0, ex.win_samples - len(norm)))
     ref = np.asarray(wavlm_apply(params, jnp.asarray(chunk[None]), cfg))[0]
     np.testing.assert_allclose(out, ref[:total], rtol=0, atol=1e-5)
 
@@ -92,8 +86,20 @@ def test_per_frame_mapping():
     ex.features = lambda wav: feats  # isolate the mapping
     out = ex.per_frame(np.zeros(100, np.float32), n_frames=10, fps=30.0)
     t = (np.arange(10) + 0.5) / 30.0
-    idx = np.clip(np.round(t * 16000 / cfg.frame_stride).astype(int), 0, 39)
+    # nearest by RECEPTIVE-FIELD CENTER: frame k covers
+    # [k*stride, k*stride + receptive)
+    idx = np.clip(np.round((t * 16000 - cfg.receptive_field / 2)
+                           / cfg.frame_stride).astype(int), 0, 39)
     np.testing.assert_array_equal(out[:, 0], idx.astype(np.float32))
+    # sanity: a frame centered exactly on WavLM frame 0's center maps to 0
+    ex2 = WavLMExtractor.__new__(WavLMExtractor)
+    ex2.cfg, ex2.stride = cfg, cfg.frame_stride
+    ex2.receptive = cfg.receptive_field
+    ex2.features = lambda wav: feats
+    center_t = (cfg.receptive_field / 2) / 16000
+    one = ex2.per_frame(np.zeros(10, np.float32), 1,
+                        fps=0.5 / center_t)
+    assert one[0, 0] == 0.0
 
 
 @pytest.mark.slow

@@ -15,8 +15,12 @@ run() { # name, timeout_s, cmd...
   echo "--- $name exit=$? tail:"; tail -5 "$LOG/$name.log"
 }
 
-# 0. relay sanity (fast fail if it died again)
-run probe 120 python /tmp/probe_tpu.py || true
+# 0. relay sanity — ABORT if the relay is dead (every later leg would
+# burn its full timeout hanging silently)
+if ! timeout 120 python /tmp/probe_tpu.py >"$LOG/probe.log" 2>&1; then
+  echo "relay dead (probe timed out) — aborting"; exit 1
+fi
+echo "relay alive"
 
 # 1. XLA-path scoped-vmem sweep on the flagship (3 heavy compiles) —
 #    the direct lever on the headline bench number

@@ -32,60 +32,20 @@ import jax.numpy as jnp
 DT = jnp.bfloat16
 
 
-def timeit(fn, *args, iters=16, warmup=2):
-    for _ in range(warmup):
-        float(fn(*args))
-    t0 = time.perf_counter()
-    acc = None
-    for _ in range(iters):
-        acc = fn(*args)
-    float(acc)
-    return (time.perf_counter() - t0) / iters
-
-
-def _flagship_fn(copts=None):
-    from bench import make_host_batch
-    from jmt_tpu.models.jmt_model import JMTModel
-    from jmt_tpu.train.loops import _preprocess
-
-    model = JMTModel(
-        vision_backbones=("R2D1", "I3D"),
-        audio_backbones=("ResNet18", "wavLM"),
-        intra_modal_fusion="encoder_plus_self_attention",
-        joint_modalities="TRANSFORMER", output_format="SELF_ATTEN",
-        num_heads=1, num_layers=1, dtype=DT)
-    arrays = make_host_batch()
-    spec1, clips1 = _preprocess(model, make_host_batch(b=1), None,
-                                augment=False)
-    v = model.init(jax.random.PRNGKey(0), spec1, clips1,
-                   make_host_batch(b=1)["wavlm"])
-
-    def step(v, arrays):
-        spec, clips = _preprocess(model, arrays, None, augment=False)
-        vouts, aouts = model.apply(v, spec, clips, arrays["wavlm"],
-                                   train=False)
-        return vouts.sum() + aouts.sum()
-
-    f = jax.jit(step, compiler_options=copts)
-    return f, v, jax.device_put(arrays)
-
-
 def stage_xla():
-    """Default-path flagship at raised XLA scoped-vmem budgets."""
-    from bench import B, S
-    for kib in (None, 32768, 65536):
-        copts = ({"xla_tpu_scoped_vmem_limit_kib": str(kib)}
-                 if kib else None)
+    """Default-path flagship at raised XLA scoped-vmem budgets — measured
+    through the EXACT headline path (bench.bench_jmt_tpu, which takes
+    scoped_vmem_kib for this sweep)."""
+    from bench import bench_jmt_tpu
+    for kib in (0, 32768, 65536):
         tag = f"scoped_vmem={kib or 'default'}kib"
         try:
-            f, v, arrays = _flagship_fn(copts)
             t0 = time.perf_counter()
-            s = float(f(v, arrays))
-            c = time.perf_counter() - t0
-            ms = timeit(f, v, arrays) * 1e3
-            print(f"flagship [{tag}]: {ms:.2f} ms = "
-                  f"{B * S / ms * 1e3:.1f} clips/s "
-                  f"(compile+1st {c:.1f}s, sum {s:.6g})", flush=True)
+            cps, dt, p50 = bench_jmt_tpu(scoped_vmem_kib=kib)
+            print(f"flagship [{tag}]: {dt * 1e3:.2f} ms = {cps:.1f} "
+                  f"clips/s, p50 {p50 * 1e3:.1f} ms "
+                  f"(total incl. compile {time.perf_counter() - t0:.0f}s)",
+                  flush=True)
         except Exception as e:
             print(f"flagship [{tag}] FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
