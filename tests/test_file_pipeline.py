@@ -87,3 +87,62 @@ def test_missing_files_fall_back_to_zeros(tree):
     s = ds[0]
     assert not s.clips.any()
     assert not s.audio.any()
+
+
+@pytest.mark.slow
+def test_wavlm_extract_feeds_real_pipeline(tree, tmp_path):
+    """Audio self-loop: features computed by the in-framework WavLM
+    extractor are found and consumed by the REAL training pipeline
+    (windower wav paths -> WavlmFeatureStore lookup), closing the
+    reference's external-feature dependency end-to-end."""
+    import torch
+    import wave as wave_mod
+    from test_wavlm import _tiny_hf_config
+    from transformers import WavLMModel
+    from jmt_tpu.models.wavlm import WavLMConfig
+    from jmt_tpu.data.wavlm_extract import extract_tree
+    from jmt_tpu.data.datasets import WavlmFeatureStore
+
+    torch.manual_seed(7)
+    hf = _tiny_hf_config()
+    tm = WavLMModel(hf).eval()
+    cfg = WavLMConfig.from_hf(hf)
+    ckpt = tmp_path / "wavlm_tiny.pt"
+    torch.save(tm.state_dict(), ckpt)
+
+    # full-track wav per video (the ingest tree has only per-anchor
+    # chunks; the offline extractor consumes whole tracks)
+    length, fps = 481, 30.0
+    tracks = tmp_path / "tracks"
+    os.makedirs(tracks)
+    rng = np.random.default_rng(9)
+    n_samp = int(round(length / fps * 44100))
+    for vid in ("001", "002"):
+        pcm = (rng.normal(size=n_samp) * 3000).astype("<i2")
+        with wave_mod.open(str(tracks / f"{vid}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(pcm.tobytes())
+
+    feats_dir = tmp_path / "wavlm_feats"
+    n = extract_tree(str(ckpt), str(tracks), str(feats_dir), fps=fps,
+                     window_s=0.5, overlap_s=0.05, cfg=cfg, verbose=False,
+                     n_frames_for=lambda v, d: length)
+    assert n == 2 * length
+
+    # the real pipeline: records -> windower -> wav paths -> store lookup
+    recs = load_video_records(tree["labels"], tree["wavs"], tree["ts"])
+    ds = WindowedDataset(recs, "train")
+    store = WavlmFeatureStore(str(feats_dir), dim=cfg.hidden_size)
+    from jmt_tpu.data.datasets import collate
+    batch = collate([ds[0], ds[len(ds) - 1]])
+    feats = store.lookup_batch(batch.wav_paths)
+    assert feats.shape == (2, 16, cfg.hidden_size)
+    # every anchor must resolve to a real (non-zero) extracted feature
+    assert (np.abs(feats).sum(axis=2) > 0).all()
+    # and match the on-disk per-frame file exactly
+    stem = os.path.splitext(os.path.basename(batch.wav_paths[0][0]))[0]
+    vid = os.path.basename(os.path.dirname(batch.wav_paths[0][0]))
+    np.testing.assert_array_equal(
+        feats[0, 0], np.load(feats_dir / vid / f"{stem}.npy"))
