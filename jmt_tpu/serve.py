@@ -90,7 +90,8 @@ class InferenceServer:
                  seq: int = 16, buckets: Sequence[int] = (1, 8),
                  img_size: int = 112, audio_samples: Optional[int] = None,
                  use_wavlm: Optional[bool] = None,
-                 wavlm_frontend: Optional[WavLMFrontend] = None):
+                 wavlm_frontend: Optional[WavLMFrontend] = None,
+                 model_mesh=None):
         from jmt_tpu.ops.mel import AUDIO_SAMPLES
         self.model = model
         self.seq = seq
@@ -102,10 +103,22 @@ class InferenceServer:
         self.wavlm_dim = (wavlm_frontend.cfg.hidden_size
                           if wavlm_frontend is not None else 768)
         self.buckets = sorted(set(int(b) for b in buckets))
-        self.variables = {
-            "params": jax.device_put(params),
-            "batch_stats": jax.device_put(batch_stats),
-        }
+        # tensor-parallel serving (parallel/tp.py): channel axes of the
+        # param tree sharded over the 'model' mesh; inputs replicated.
+        # Data parallelism scales throughput, TP shrinks PER-REQUEST
+        # latency — the bucket-1 lever on a multi-chip serving host.
+        self.model_mesh = model_mesh
+        if model_mesh is not None:
+            from jmt_tpu.parallel.tp import shard_params
+            self.variables = {
+                "params": shard_params(params, model_mesh),
+                "batch_stats": shard_params(batch_stats, model_mesh),
+            }
+        else:
+            self.variables = {
+                "params": jax.device_put(params),
+                "batch_stats": jax.device_put(batch_stats),
+            }
         self._compiled: Dict[int, object] = {}
         for b in self.buckets:
             self._compiled[b] = self._compile(b)
@@ -121,6 +134,9 @@ class InferenceServer:
         if self.use_wavlm:
             arrays["wavlm"] = jnp.zeros((b, self.seq, self.wavlm_dim),
                                         jnp.float32)
+        if self.model_mesh is not None:
+            from jmt_tpu.parallel.tp import replicate
+            arrays = replicate(arrays, self.model_mesh)
         return arrays
 
     def _compile(self, b: int):
@@ -173,6 +189,9 @@ class InferenceServer:
                 assert wavlm is not None, \
                     "model was built with a wavLM path"
                 arrays["wavlm"] = pad(np.asarray(wavlm, np.float32))
+        if self.model_mesh is not None:
+            from jmt_tpu.parallel.tp import replicate
+            arrays = replicate(arrays, self.model_mesh)
         v, a = self._compiled[b](self.variables, arrays)
         return (np.asarray(v, np.float32)[:n], np.asarray(a, np.float32)[:n])
 
@@ -180,8 +199,8 @@ class InferenceServer:
     @classmethod
     def from_experiment(cls, exp_dir: str, buckets: Sequence[int] = (1, 8),
                         weights: str = "auto",
-                        wavlm_frontend: Optional["WavLMFrontend"] = None
-                        ) -> "InferenceServer":
+                        wavlm_frontend: Optional["WavLMFrontend"] = None,
+                        model_mesh=None) -> "InferenceServer":
         """Build from a finished training run: final_config.yml + the BEST
         per-component weights (or the final train_state)."""
         import os
@@ -209,7 +228,7 @@ class InferenceServer:
             runner.state = ckpt.restore_train_state(wdir, runner.state)
         return cls(runner.model, runner.state.params(),
                    runner.state.batch_stats, buckets=buckets,
-                   wavlm_frontend=wavlm_frontend)
+                   wavlm_frontend=wavlm_frontend, model_mesh=model_mesh)
 
 
 class StreamingSession:
@@ -309,7 +328,11 @@ def measure_latency(server: InferenceServer, bucket: int,
             if wavlm is None:  # frontend server: pre-stage its features
                 wavlm = server.wavlm_frontend.features(audio)
             arrays["wavlm"] = wavlm
-        dev = jax.device_put(arrays)
+        if server.model_mesh is not None:
+            from jmt_tpu.parallel.tp import replicate
+            dev = replicate(arrays, server.model_mesh)
+        else:
+            dev = jax.device_put(arrays)
         fn = server._compiled[bucket]
 
         def request():
@@ -387,6 +410,9 @@ if __name__ == "__main__":
                    help="torch WavLM state dict: serve raw audio by "
                         "computing wavLM features server-side "
                         "(WavLMFrontend)")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel serving over N devices "
+                        "(parallel/tp.py; shrinks per-request latency)")
     args = p.parse_args()
     buckets = tuple(int(x) for x in args.buckets.split(","))
     if args.exp_dir:
@@ -395,9 +421,14 @@ if __name__ == "__main__":
         # exercises the raw-audio path when a frontend is attached
         frontend = (WavLMFrontend.from_checkpoint(args.wavlm_checkpoint)
                     if args.wavlm_checkpoint else None)
+        mesh = None
+        if args.tp:
+            from jmt_tpu.parallel.tp import make_model_mesh
+            mesh = make_model_mesh(args.tp)
         server = InferenceServer.from_experiment(args.exp_dir,
                                                  buckets=buckets,
-                                                 wavlm_frontend=frontend)
+                                                 wavlm_frontend=frontend,
+                                                 model_mesh=mesh)
         stats = {"buckets": {str(b): {
             "relay": measure_latency(server, b),
             "device_resident": measure_latency(server, b,
