@@ -267,7 +267,7 @@ class Config:
     # raise XLA's scoped-VMEM fusion budget (KiB) for the jitted steps
     # (--xla_tpu_scoped_vmem_limit_kib; 0 = compiler default of 16 MB).
     # v5e has 128 MB physical VMEM — sweep via tools/vmem_sweep.py.
-    xla_scoped_vmem_kib: int = 0
+    xla_scoped_vmem_kib: int = 0  # coerced in __post_init__ (CLI --set)
     # observability: write a jax.profiler trace of a few train steps of
     # `profile_epoch` into profile_dir (the reference has no tracing at all,
     # SURVEY.md §5.1 — only coarse epoch wall-clocks)
@@ -286,6 +286,8 @@ class Config:
         self.verbose = _as_bool(self.verbose)
         self.dump_best_model_every_time = _as_bool(
             self.dump_best_model_every_time)
+        self.xla_scoped_vmem_kib = int(self.xla_scoped_vmem_kib)
+        assert self.xla_scoped_vmem_kib >= 0, self.xla_scoped_vmem_kib
         assert self.Mode in MODES, self.Mode
         assert self.goal in GOALS, self.goal
         assert self.split in SPLITS, self.split
