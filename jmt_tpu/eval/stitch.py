@@ -102,8 +102,11 @@ class Stitcher:
     def is_complete(self, vid: str) -> bool:
         """True once every frame of `vid` has been written (the eval
         windowing emits every anchor 1..length, so the highest in-range
-        anchor reaching length means full coverage)."""
-        return self._max_anchor.get(vid, 0) >= self.lengths.get(vid, -1)
+        anchor reaching length means full coverage). A video never fed
+        is NOT complete."""
+        if vid not in self.lengths:
+            return False
+        return self._max_anchor.get(vid, 0) >= self.lengths[vid]
 
     def smoothed(self, v_size: int = 20, a_size: int = 50
                  ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:

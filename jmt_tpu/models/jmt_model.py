@@ -49,7 +49,9 @@ class JMTModel(nn.Module):
     remat_granularity: str = "backbone"   # "backbone" | "stage"
     i3d_input_size: int = 224     # 112 = native-resolution option
     # whole-inception-module Pallas kernel (ops/inception_pallas.py);
-    # "auto" resolves to True on a TPU backend, False on CPU
+    # "auto" currently resolves to False EVERYWHERE — the kernel wins the
+    # isolated trunk but loses end-to-end on v5e (measured rationale in
+    # ops/inception_pallas.fused_default_enabled); opt in with True
     i3d_fused_inception: object = "auto"
     # stream the I3D trunk over clip chunks of this size (0 = off) —
     # raises the B knee past the stem-activation OOM (models/tsav.py)

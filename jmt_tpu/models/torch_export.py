@@ -76,8 +76,14 @@ def inv_encoder_layer(tree, prefix: str) -> SD:
 
 
 def inv_encoder_block(tree, prefix: str) -> SD:
+    # natural sort: flax names are 'layer{i}' — lexicographic sorted()
+    # would order layer10 before layer2 at num_layers >= 10
+    def _idx(k):
+        m = re.search(r"(\d+)$", k)
+        return (int(m.group(1)) if m else -1, k)
+
     return _merge(*[inv_encoder_layer(tree[k], _key(prefix, f"layers.{i}"))
-                    for i, k in enumerate(sorted(tree))])
+                    for i, k in enumerate(sorted(tree, key=_idx))])
 
 
 def inv_regressor(tree, prefix: str) -> SD:
@@ -269,6 +275,13 @@ def inv_tcn(tree, prefix: str = "") -> SD:
         tp = f"{prefix}network.{i}"
         out.update(inv_weight_norm_conv1d(block["conv1"], f"{tp}.conv1"))
         out.update(inv_weight_norm_conv1d(block["conv2"], f"{tp}.conv2"))
+        # the reference TemporalBlock registers conv1/conv2 BOTH as
+        # attributes AND inside its nn.Sequential `net` (slots 0 and 4),
+        # so its state dict carries both aliases — strict load needs both
+        for src, dst in ((f"{tp}.conv1", f"{tp}.net.0"),
+                         (f"{tp}.conv2", f"{tp}.net.4")):
+            for suf in ("weight_g", "weight_v", "bias"):
+                out[f"{dst}.{suf}"] = out[f"{src}.{suf}"]
         if "downsample_kernel" in block:
             out[f"{tp}.downsample.weight"] = np.transpose(
                 _np(block["downsample_kernel"]), (2, 1, 0))
@@ -365,7 +378,13 @@ def component_torch_sd(name: str, piece: Mapping[str, Any]) -> SD:
     if name in ("transformer_audio_modality_fusion",
                 "transformer_visio_modality_fusion"):
         return inv_intra_modal_fusion(p)
-    raise KeyError(name)
+    raise UnknownComponent(name)
+
+
+class UnknownComponent(KeyError):
+    """Not a SavedWeights component name — distinct from KeyErrors raised
+    inside converters (which indicate a real conversion failure and must
+    NOT be silently skipped by export_reference_pt)."""
 
 
 # reference submodules that exist but never run in the shipped forward
@@ -399,6 +418,90 @@ def complete_for_module(sd: SD, module_sd: Mapping[str, Any]) -> SD:
     return out
 
 
+def _dead_encoder_layer(dim: int, hidden: int, prefix: str) -> SD:
+    z = np.zeros
+    return {
+        f"{prefix}.attention.in_proj_weight": z((3 * dim, dim), np.float32),
+        f"{prefix}.attention.in_proj_bias": z((3 * dim,), np.float32),
+        f"{prefix}.attention.out_proj.weight": z((dim, dim), np.float32),
+        f"{prefix}.attention.out_proj.bias": z((dim,), np.float32),
+        f"{prefix}.feed_forward.0.weight": z((hidden, dim), np.float32),
+        f"{prefix}.feed_forward.0.bias": z((hidden,), np.float32),
+        f"{prefix}.feed_forward.2.weight": z((dim, hidden), np.float32),
+        f"{prefix}.feed_forward.2.bias": z((dim,), np.float32),
+        f"{prefix}.layer_norm1.weight": np.ones((dim,), np.float32),
+        f"{prefix}.layer_norm1.bias": z((dim,), np.float32),
+        f"{prefix}.layer_norm2.weight": np.ones((dim,), np.float32),
+        f"{prefix}.layer_norm2.bias": z((dim,), np.float32),
+    }
+
+
+def _dead_i3d_heads(prefix: str = "") -> SD:
+    """I3D_WSDDA's forward-dead heads (I3DWSDDA.py:9-37: `predictions`,
+    `vregressor`/`aregressor`, and the InceptionI3d `logits` Unit3D) —
+    never run in the extract_features path the reference uses."""
+    z = np.zeros
+    out: SD = {
+        f"{prefix}i3d_WSDDA.logits.conv3d.weight":
+            z((400, 1024, 1, 1, 1), np.float32),
+        f"{prefix}i3d_WSDDA.logits.conv3d.bias": z((400,), np.float32),
+        f"{prefix}predictions.0.conv3d.weight":
+            z((512, 1024, 1, 1, 1), np.float32),
+        f"{prefix}predictions.0.conv3d.bias": z((512,), np.float32),
+        f"{prefix}predictions.1.conv3d.weight":
+            z((1, 512, 1, 1, 1), np.float32),
+        f"{prefix}predictions.1.conv3d.bias": z((1,), np.float32),
+    }
+    for reg in ("vregressor", "aregressor"):
+        out.update({
+            f"{prefix}{reg}.0.weight": z((128, 512), np.float32),
+            f"{prefix}{reg}.0.bias": z((128,), np.float32),
+            f"{prefix}{reg}.1.weight": np.ones((128,), np.float32),
+            f"{prefix}{reg}.1.bias": z((128,), np.float32),
+            f"{prefix}{reg}.1.running_mean": z((128,), np.float32),
+            f"{prefix}{reg}.1.running_var": np.ones((128,), np.float32),
+            f"{prefix}{reg}.1.num_batches_tracked":
+                np.zeros((), np.int64),
+            f"{prefix}{reg}.2.weight": z((1, 128), np.float32),
+            f"{prefix}{reg}.2.bias": z((1,), np.float32),
+        })
+    return out
+
+
+def synthesize_dead_keys(name: str, sd: SD) -> SD:
+    """Add the reference modules' forward-dead submodule keys (zeros /
+    identity-norm values, correct shapes) so the exported .pt strict-loads
+    WITHOUT needing a live torch module for complete_for_module.
+
+    Dead sets per component (shapes verified against the reference
+    modules' own state dicts in tests/test_torch_export.py):
+    * fusion_w (w_JR): `mm_transformer.final_encoder` — constructed
+      unconditionally (mm_multi_transformers.py:92-93), never called.
+    * vision_i3d / all_backbones' vision_i3d: `predictions`,
+      `vregressor`/`aregressor`, `i3d_WSDDA.logits` (I3DWSDDA.py) —
+      only extract_features + temporal run in the shipped forward."""
+    out = dict(sd)
+    fe = "mm_transformer.final_encoder."
+    probe = "mm_transformer.joint_representation_encoder.layers."
+    if any(k.startswith(probe) for k in sd) \
+            and not any(k.startswith(fe) for k in sd):
+        # w_JR variant: mirror the live encoders' layer count/hidden dim
+        vis = "mm_transformer.visual_encoder.layers."
+        n_layers = 1 + max(int(k[len(vis):].split(".")[0])
+                           for k in sd if k.startswith(vis))
+        hidden = np.asarray(
+            sd[f"{vis}0.feed_forward.0.weight"]).shape[0]
+        for i in range(n_layers):
+            out.update(_dead_encoder_layer(3072, hidden,
+                                           f"{fe}layers.{i}"))
+    if name == "vision_i3d":
+        out.update(_dead_i3d_heads())
+    if name == "all_backbones" and any(
+            k.startswith("vision_i3d.") for k in sd):
+        out.update(_dead_i3d_heads(prefix="vision_i3d."))
+    return out
+
+
 def save_pt(sd: SD, path: str) -> str:
     """torch.save a numpy sd as tensors (float32/int64 preserved)."""
     import torch
@@ -422,7 +525,9 @@ def export_reference_pt(weights_dir: str, out_dir: str = None) -> Dict[str, str]
         try:
             sd = component_torch_sd(name, load_component(
                 os.path.join(weights_dir, fn)))
-        except KeyError:
-            continue
+        except UnknownComponent:
+            continue  # not a SavedWeights component; converter errors
+            # (incl. KeyErrors from inside a converter) propagate loudly
+        sd = synthesize_dead_keys(name, sd)
         written[name] = save_pt(sd, os.path.join(out_dir, f"{name}.pt"))
     return written

@@ -168,6 +168,14 @@ class TwoStreamBackbones(nn.Module):
                                       deterministic, False)
 
             n, ck = flat.shape[0], self.i3d_chunk
+            if ck > 0 and n > ck and n % ck and not self.is_initializing():
+                # a chunk that does not divide B*S silently disabling the
+                # memory knob is exactly the OOM-with-no-hint failure mode
+                import warnings
+                warnings.warn(
+                    f"i3d_chunk={ck} does not divide the flat clip count "
+                    f"{n} — chunk streaming DISABLED; pick a divisor "
+                    f"(e.g. B=12,S=16 -> 96; B=16 -> 128)", RuntimeWarning)
             if (ck > 0 and n > ck and n % ck == 0 and ura("I3D")
                     and not self.is_initializing()):
                 # stream the trunk over n//ck chunks; dropout rngs split
