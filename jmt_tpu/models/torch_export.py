@@ -499,6 +499,14 @@ def synthesize_dead_keys(name: str, sd: SD) -> SD:
     if name == "all_backbones" and any(
             k.startswith("vision_i3d.") for k in sd):
         out.update(_dead_i3d_heads(prefix="vision_i3d."))
+    # VideoModel's 17-way fc head (reference tsav.py:44-46) is replaced
+    # by Dummy before any forward (tsav.py:172) — dead, but in the sd
+    for pfx in ("", "vision_r2d1."):
+        if (name in ("vision_r2d1", "all_backbones")
+                and any(k.startswith(f"{pfx}r2plus1d.stem") for k in sd)):
+            out[f"{pfx}r2plus1d.fc.1.weight"] = np.zeros((17, 512),
+                                                         np.float32)
+            out[f"{pfx}r2plus1d.fc.1.bias"] = np.zeros((17,), np.float32)
     return out
 
 

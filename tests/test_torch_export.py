@@ -287,3 +287,26 @@ def test_stitcher_is_complete_unseen_video():
     from jmt_tpu.eval.stitch import Stitcher
     st = Stitcher()
     assert not st.is_complete("never-fed")
+
+
+@pytest.mark.slow
+def test_strict_load_vision_r2d1_into_reference_videomodel():
+    """vision_r2d1.pt (with the synthesized dead 17-way fc head,
+    tsav.py:44-46/172) strict-loads into the reference VideoModel."""
+    torch = pytest.importorskip("torch")
+    import sys, os, importlib
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from reference_loader import load_reference_models
+    load_reference_models()
+    ref_tsav = importlib.import_module("models.tsav")
+    from jmt_tpu.models.video_resnet import VideoResNet
+
+    mr = VideoResNet(arch="r2plus1d")
+    vr = mr.init(jax.random.PRNGKey(1), jnp.ones((1, 8, 32, 32, 3)))
+    sd = tex.synthesize_dead_keys("vision_r2d1", tex.inv_video_resnet(
+        {"params": vr["params"], "batch_stats": vr["batch_stats"]},
+        prefix="r2plus1d."))
+    ref = ref_tsav.VideoModel(num_channels=3)
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(np.asarray(v)))
+         for k, v in sd.items()}, strict=True)
