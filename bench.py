@@ -78,15 +78,17 @@ def bench_jmt_tpu(i3d_input_size=224, b=B, i3d_chunk=0, scoped_vmem_kib=0):
     copts = ({"xla_tpu_scoped_vmem_limit_kib": str(scoped_vmem_kib)}
              if scoped_vmem_kib else None)
 
-    @functools.partial(jax.jit, compiler_options=copts)
-    def step(variables, arrays):
+    def _step(variables, arrays):
         spec, clips = _preprocess(model, arrays, None, augment=False)
         return model.apply(variables, spec, clips, arrays["wavlm"],
                            train=False)
 
+    # NB: compiler_options is only legal on a TOP-LEVEL jit — step_sum
+    # must call the plain function, not a jitted one (nested jit with
+    # compiler_options raises in jax 0.8)
     @functools.partial(jax.jit, compiler_options=copts)
     def step_sum(variables, arrays):
-        vouts, aouts = step(variables, arrays)
+        vouts, aouts = _step(variables, arrays)
         return vouts.sum() + aouts.sum()
 
     dev_arrays = jax.device_put(arrays)

@@ -32,12 +32,12 @@ import jax.numpy as jnp
 DT = jnp.bfloat16
 
 
-def stage_xla():
+def stage_xla(kibs=(0, 32768, 65536)):
     """Default-path flagship at raised XLA scoped-vmem budgets — measured
     through the EXACT headline path (bench.bench_jmt_tpu, which takes
     scoped_vmem_kib for this sweep)."""
     from bench import bench_jmt_tpu
-    for kib in (0, 32768, 65536):
+    for kib in kibs:
         tag = f"scoped_vmem={kib or 'default'}kib"
         try:
             t0 = time.perf_counter()
@@ -123,7 +123,8 @@ def stage_fused(limit_mb=96, absorb=True):
 
 if __name__ == "__main__":
     if "xla" in sys.argv:
-        stage_xla()
+        explicit = [int(a) for a in sys.argv[2:] if a.isdigit()]
+        stage_xla(tuple(explicit) if explicit else (0, 32768, 65536))
     if "fit" in sys.argv:
         stage_fit()
     if "fused" in sys.argv:
