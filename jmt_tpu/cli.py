@@ -42,12 +42,16 @@ def parse_args(argv=None):
                    help="override: dotted path or reference prefix form")
     p.add_argument("--synthetic", default=None, metavar="N:LEN",
                    help="use the synthetic data source (e.g. 2:481)")
-    p.add_argument("--mode", default=None, choices=["Training", "Eval"])
-    p.add_argument("--exp-dir", default=None,
-                   help="Eval mode: experiment dir to reload")
-    p.add_argument("--eval-split", default="val", choices=["val", "test"],
+    p.add_argument("--mode", "--Mode", default=None,
+                   choices=["Training", "Eval"])
+    p.add_argument("--exp-dir", "--fd_exp", default=None,
+                   help="Eval mode: experiment dir to reload (the "
+                        "reference's --fd_exp, README.MD:188)")
+    p.add_argument("--eval-split", "--eval_set", default="val",
+                   choices=["val", "test"],
                    help="Eval mode: stitched validation or challenge-test "
-                        "txt inference (test.py semantics)")
+                        "txt inference (test.py semantics; the reference's "
+                        "--eval_set)")
     p.add_argument("--resume", action="store_true",
                    help="Training mode: restore the full train state from "
                         "the experiment dir and continue")
@@ -69,7 +73,28 @@ def parse_args(argv=None):
                         "to reference-format .pt state dicts (reverse "
                         "interop: the reference stack can then evaluate a "
                         "jmt_tpu-trained model, main.py:508-609) and exit")
-    return p.parse_args(argv)
+    # Unknown --key value / --key=value flags become config overrides so a
+    # reference main.py command line works VERBATIM (--opt__lr 0.0001,
+    # --freeze_vision_R2D1 True, --train_params__batch_size 32, ...;
+    # parseit.py:85-345 semantics). docs/MIGRATION.md documents the mapping.
+    args, extra = p.parse_known_args(argv)
+    passthrough = []
+    i = 0
+    while i < len(extra):
+        tok = extra[i]
+        if not tok.startswith("--"):
+            raise SystemExit(f"unrecognized argument: {tok}")
+        key = tok[2:]
+        if "=" in key:
+            passthrough.append(key)
+            i += 1
+        elif i + 1 < len(extra) and not extra[i + 1].startswith("--"):
+            passthrough.append(f"{key}={extra[i + 1]}")
+            i += 2
+        else:
+            raise SystemExit(f"flag {tok} needs a value")
+    args.set = list(args.set) + passthrough
+    return args
 
 
 def build_config(args) -> Config:

@@ -23,6 +23,7 @@ import dataclasses
 import json
 import os
 import sys
+import warnings
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
@@ -67,6 +68,12 @@ class LoaderParams:
     # TPU addition: prefetch depth of the host->device pipeline.
     prefetch: int = 2
 
+    def __post_init__(self):
+        # reference command lines pass booleans as the words True/False
+        # (README.MD:100-104)
+        self.shuffle = _as_bool(self.shuffle)
+        self.pin_memory = _as_bool(self.pin_memory)
+
 
 @dataclass
 class SplitParams:
@@ -84,6 +91,10 @@ class SplitParams:
     def __post_init__(self):
         if isinstance(self.loader_params, dict):
             self.loader_params = LoaderParams(**self.loader_params)
+        self.use_more_vision_data_augm = _as_bool(
+            self.use_more_vision_data_augm)
+        self.use_more_audio_data_augm = _as_bool(
+            self.use_more_audio_data_augm)
         assert self.seq_length > 0 and self.subseq_length > 0
         assert self.seq_length % self.subseq_length == 0, \
             (self.seq_length, self.subseq_length)
@@ -181,14 +192,16 @@ class ModelParams:
     finetune_bn: str = "batch"
 
     def __post_init__(self):
+        # string forms accept both our "," and the reference's "+"
+        # separator (parseit.py:364,378: "wavLM+ResNet18")
         if isinstance(self.l_vision_backbones, str):
             self.l_vision_backbones = (
                 [] if self.l_vision_backbones in ("", "None")
-                else self.l_vision_backbones.split(","))
+                else self.l_vision_backbones.replace("+", ",").split(","))
         if isinstance(self.l_audio_backbones, str):
             self.l_audio_backbones = (
                 [] if self.l_audio_backbones in ("", "None")
-                else self.l_audio_backbones.split(","))
+                else self.l_audio_backbones.replace("+", ",").split(","))
         if isinstance(self.opt, dict):
             self.opt = OptimParams(**self.opt)
         self.opt.max_epochs = self.max_epochs
@@ -365,6 +378,14 @@ class Config:
                     opt_d[k[len("opt__"):]] = mp.pop(k)
             mp["opt"] = opt_d
             d["model_params"] = mp
+        # reference-only keys with no TPU meaning are dropped silently
+        # (config_file.json:1-99); anything else unknown is warned about so
+        # a typo'd --set / pasted flag is not swallowed
+        silent = {"cudaid", "t0", "tend", "myseed", "debug_subset"}
+        for k in d:
+            if k not in known and k not in silent:
+                warnings.warn(f"ignoring unknown config key {k!r}",
+                              stacklevel=2)
         d = {k: v for k, v in d.items() if k in known}
         return cls(**d)
 
@@ -387,14 +408,25 @@ def apply_overrides(cfg_dict: Dict[str, Any],
     """Apply override keys onto a raw config dict.
 
     Supports both dotted paths (``model_params.num_heads``) and the
-    reference's prefix-mangled forms (parseit.py:291-345):
+    reference's prefix-mangled forms (parseit.py:291-345), so every flag
+    from the reference README's command lines works verbatim as a
+    ``--set`` key:
 
     * ``opt__<k>``                       -> model_params.opt.<k>
     * ``train_params__loader_params__<k>`` -> train_params.loader_params.<k>
+    * ``<split>_params__<loader-key>``   -> <split>_params.loader_params.<k>
+      (the reference flattens loader params onto the split prefix:
+      ``--train_params__batch_size 32``, README.MD / parseit.py:291-345)
     * ``<section>__<k>``                 -> <section>.<k>
-    * plain keys                          -> top level
+    * bare model-param keys (``num_heads``, ``freeze_vision_R2D1``, ...)
+      -> model_params.<k> (they are TOP-LEVEL argparse flags in the
+      reference, parseit.py:85-270)
+    * other plain keys                    -> top level
     """
     out = json.loads(json.dumps(cfg_dict))  # deep copy, JSON-typed
+
+    mp_keys = {f.name for f in dataclasses.fields(ModelParams)} - {"opt"}
+    loader_keys = {f.name for f in dataclasses.fields(LoaderParams)}
 
     def set_path(d: Dict[str, Any], path: List[str], value: Any) -> None:
         for p in path[:-1]:
@@ -407,7 +439,13 @@ def apply_overrides(cfg_dict: Dict[str, Any],
         elif key.startswith("opt__"):
             set_path(out, ["model_params", key], value)
         elif "__" in key:
-            set_path(out, key.split("__"), value)
+            path = key.split("__")
+            if (len(path) == 2 and path[0].endswith("_params")
+                    and path[1] in loader_keys):
+                path = [path[0], "loader_params", path[1]]
+            set_path(out, path, value)
+        elif key in mp_keys:
+            set_path(out, ["model_params", key], value)
         else:
             out[key] = value
     return out

@@ -64,6 +64,113 @@ def test_overrides_lattice():
     assert cfg.SEED == 7
 
 
+def test_overrides_reference_readme_flag_forms():
+    """Every flag form from the reference README's command lines
+    (README.MD:75-115) works verbatim as a --set key: bare model-param
+    flags are TOP-LEVEL argparse flags there (parseit.py:85-270), and
+    loader params are flattened onto the split prefix
+    (``--train_params__batch_size``, parseit.py:291-345)."""
+    d = reference_style_dict()
+    d2 = apply_overrides(d, {
+        "num_heads": 2,                      # bare model-param key
+        "freeze_vision_R2D1": False,
+        "l_audio_backbones": "wavLM,ResNet18",
+        "init_w_ResNet18": "IMAGENET",
+        "intra_modal_fusion": "encoder_plus_self_attention",
+        "train_params__batch_size": 4,       # split-prefixed loader key
+        "train_params__num_workers": 2,
+        "val_params__shuffle": False,
+        "train_params__take_n_videos": 3,    # split-prefixed split key
+        "goal": "TRAINING",                  # true top-level stays top
+    })
+    cfg = Config.from_dict(d2)
+    assert cfg.model_params.num_heads == 2
+    assert cfg.model_params.freeze_vision_R2D1 is False
+    assert cfg.model_params.l_audio_backbones == ["wavLM", "ResNet18"]
+    assert cfg.model_params.init_w_ResNet18 == "IMAGENET"
+    assert cfg.train_params.loader_params.batch_size == 4
+    assert cfg.train_params.loader_params.num_workers == 2
+    assert cfg.val_params.loader_params.shuffle is False
+    assert cfg.train_params.take_n_videos == 3
+    assert cfg.goal == "TRAINING"
+
+
+def test_reference_readme_command_line_verbatim():
+    """The reference README's fusion-training command (README.MD:75-115)
+    parses VERBATIM through our CLI — unknown --key value flags become
+    config overrides with the reference's parseit semantics (bare
+    model-param flags, opt__ prefixes, split-prefixed loader params,
+    '+'-separated backbone lists)."""
+    from jmt_tpu import cli
+    argv = [
+        "--opt__name_optimizer", "sgd",
+        "--opt__lr", "0.0001",
+        "--opt__weight_decay", "0.0",
+        "--opt__name_lr_scheduler", "mystep",
+        "--opt__step_size", "100",
+        "--opt__gamma", "0.1",
+        "--v_dropout", "0.0",
+        "--a_dropout", "0.0",
+        "--num_heads", "1",
+        "--num_layers", "1",
+        "--freeze_vision_R2D1", "True",
+        "--freeze_vision_I3D", "True",
+        "--freeze_audio_ResNet18", "True",
+        "--split", "DEFAULT",
+        "--l_vision_backbones", "R2D1",
+        "--l_audio_backbones", "wavLM+ResNet18",
+        "--init_w_R2D1", "RANDOM",
+        "--init_w_I3D", "RANDOM",
+        "--init_w_ResNet18", "RANDOM",
+        "--goal", "TRAINING",
+        "--train_params__take_n_videos", "2",
+        "--val_params__take_n_videos", "2",
+        "--R2D1_ft_dim_reduce", "MAX",
+        "--joint_modalities", "TRANSFORMER",
+        "--dump_best_model_every_time", "True",
+        "--output_format", "SELF_ATTEN",
+        "--intra_modal_fusion", "encoder_plus_self_attention",
+        "--max_epochs", "1",
+        "--train_params__seq_length", "512",
+        "--train_params__subseq_length", "32",
+        "--train_params__stride", "1",
+        "--train_params__dilation", "4",
+        "--train_params__batch_size", "32",
+        "--train_params__num_workers", "16",
+        "--train_params__pin_memory", "True",
+        "--train_params__shuffle", "True",
+        "--train_params__use_more_vision_data_augm", "False",
+        "--train_params__use_more_audio_data_augm", "False",
+        "--val_params__num_workers", "8",
+        "--SEED", "0",
+        "--Mode", "Training",
+        "--exp_id", "03_09_2024_10_20_28_318104__2676163",
+    ]
+    args = cli.parse_args(argv)
+    cfg = cli.build_config(args)
+    assert cfg.Mode == "Training" and cfg.goal == "TRAINING"
+    assert cfg.exp_id == "03_09_2024_10_20_28_318104__2676163"
+    assert cfg.SEED == 0 and cfg.split == "DEFAULT"
+    mp = cfg.model_params
+    assert mp.opt.name_optimizer == "sgd" and mp.opt.lr == 1e-4
+    assert mp.opt.name_lr_scheduler == "mystep" and mp.opt.step_size == 100
+    assert mp.l_vision_backbones == ["R2D1"]
+    assert mp.l_audio_backbones == ["wavLM", "ResNet18"]
+    assert mp.freeze_vision_R2D1 is True and mp.num_heads == 1
+    assert mp.intra_modal_fusion == "encoder_plus_self_attention"
+    assert mp.output_format == "SELF_ATTEN" and mp.max_epochs == 1
+    tp = cfg.train_params
+    assert tp.take_n_videos == 2 and tp.seq_length == 512
+    assert tp.stride == 1 and tp.dilation == 4
+    assert tp.use_more_vision_data_augm is False
+    assert tp.loader_params.batch_size == 32
+    assert tp.loader_params.num_workers == 16
+    assert tp.loader_params.pin_memory is True
+    assert tp.loader_params.shuffle is True
+    assert cfg.val_params.take_n_videos == 2
+    assert cfg.val_params.loader_params.num_workers == 8
+
+
 def test_val_geometry_synced_to_train():
     d = reference_style_dict()
     d["val_params"]["seq_length"] = 256  # will be force-synced
