@@ -120,7 +120,8 @@ def build_config(args) -> Config:
 
 def make_datasets(cfg: Config, synthetic: str = None):
     if synthetic:
-        from jmt_tpu.data.synthetic import synthetic_dataset
+        from jmt_tpu.data.synthetic import (synthetic_dataset,
+                                            synthetic_wavlm_store)
         parts = synthetic.split(":")
         n = int(parts[0])
         length = int(parts[1]) if len(parts) > 1 else 481
@@ -133,7 +134,9 @@ def make_datasets(cfg: Config, synthetic: str = None):
         val = synthetic_dataset("val", n_videos=n, length=length,
                                 stride=cfg.val_params.stride, img_size=img,
                                 check_coverage=False)
-        return train, val, None, None
+        # deterministic in-memory 'precomputed' wavLM features so the
+        # flagship config (wavLM audio backbone) smoke-drives too
+        return train, val, None, synthetic_wavlm_store()
     from jmt_tpu.data.datasets import (load_video_records, WindowedDataset,
                                        WavlmFeatureStore)
     from jmt_tpu.data.windowing import TRAIN_SKIP_VIDS

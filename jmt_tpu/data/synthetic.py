@@ -40,6 +40,21 @@ def synthetic_audio_loader(path: str) -> Optional[np.ndarray]:
     return x.astype(np.float32)
 
 
+def synthetic_wavlm_loader(path: str) -> Optional[np.ndarray]:
+    """Deterministic 768-d 'WavLM' feature derived from the path string —
+    stands in for the precomputed per-frame ``{video}/{n}.npy`` files
+    (train.py:150-171 surface) so the FULL flagship config (incl. the
+    wavLM audio backbone) smoke-drives with ``--synthetic``."""
+    rng = np.random.default_rng(_seed_from(path))
+    return rng.normal(scale=0.1, size=768).astype(np.float32)
+
+
+def synthetic_wavlm_store():
+    from jmt_tpu.data.datasets import WavlmFeatureStore
+    return WavlmFeatureStore("/synthetic/wavlm",
+                             loader=synthetic_wavlm_loader)
+
+
 def synthetic_records(n_videos: int = 2, length: int = 481,
                       missing_every: int = 0, seed: int = 0
                       ) -> List[VideoRecord]:

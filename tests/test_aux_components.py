@@ -225,3 +225,30 @@ def test_prefetch_loader_host_sharding():
         assert len(got) == 16    # 16 samples per host
     assert len(all_vids) == 32
     assert len(set(all_vids)) == 32  # disjoint and exhaustive
+
+
+def test_synthetic_wavlm_store_deterministic():
+    """--synthetic now stands in for the precomputed WavLM .npy tree
+    (train.py:150-171 surface) so the flagship config smoke-drives."""
+    from jmt_tpu.data.synthetic import synthetic_wavlm_store
+    store = synthetic_wavlm_store()
+    rows = [["/synthetic/audio/synth000/00017.wav",
+             "/synthetic/audio/synth000/00049.wav"]]
+    a = store.lookup_batch(rows)
+    b = store.lookup_batch(rows)
+    assert a.shape == (1, 2, 768) and a.dtype == np.float32
+    np.testing.assert_array_equal(a, b)          # deterministic
+    assert np.abs(a).max() > 0                   # not the zero fallback
+    assert not np.allclose(a[0, 0], a[0, 1])     # per-frame distinct
+
+
+def test_cli_synthetic_datasets_include_wavlm_store():
+    from jmt_tpu import cli
+    from jmt_tpu.core.config import Config
+    cfg = Config.from_dict({"exp_id": "x", "train_params": {},
+                            "val_params": {}, "test_params": {},
+                            "model_params": {}})
+    train, val, test, store = cli.make_datasets(cfg, synthetic="1:481")
+    assert store is not None
+    feats = store.lookup_batch([[train.records[0].wav_dir + "/00033.wav"]])
+    assert feats.shape == (1, 1, 768) and np.abs(feats).max() > 0
