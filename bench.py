@@ -208,6 +208,8 @@ def measure_torch_baseline():
 
 
 def main():
+    from jmt_tpu.core.compcache import enable_compilation_cache
+    enable_compilation_cache()  # $JMT_COMPILATION_CACHE_DIR, if set
     kib = 0
     if "--scoped-vmem" in sys.argv:
         kib = int(sys.argv[sys.argv.index("--scoped-vmem") + 1])

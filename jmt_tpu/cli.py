@@ -180,6 +180,8 @@ def main(argv=None) -> int:
         print(json.dumps({"exported": sorted(written)}))
         return 0
     cfg = build_config(args)
+    from jmt_tpu.core.compcache import enable_compilation_cache
+    enable_compilation_cache(cfg.compilation_cache_dir or None)
     exp = ExperimentDir(cfg)
     init_logger(exp.path if cfg.Mode == "Training" or args.exp_dir
                 else None)

@@ -281,6 +281,11 @@ class Config:
     # (--xla_tpu_scoped_vmem_limit_kib; 0 = compiler default of 16 MB).
     # v5e has 128 MB physical VMEM — sweep via tools/vmem_sweep.py.
     xla_scoped_vmem_kib: int = 0  # coerced in __post_init__ (CLI --set)
+    # persistent XLA compilation cache dir ("" = $JMT_COMPILATION_CACHE_DIR
+    # or off). Production restarts/preemption recovery skip the minutes-long
+    # step recompiles (core/compcache.py; no reference counterpart — torch
+    # eager has no compile step).
+    compilation_cache_dir: str = ""
     # observability: write a jax.profiler trace of a few train steps of
     # `profile_epoch` into profile_dir (the reference has no tracing at all,
     # SURVEY.md §5.1 — only coarse epoch wall-clocks)

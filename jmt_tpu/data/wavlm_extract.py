@@ -222,6 +222,8 @@ def main(argv=None):
     ap.add_argument("--window-s", type=float, default=20.0)
     ap.add_argument("--overlap-s", type=float, default=2.0)
     args = ap.parse_args(argv)
+    from jmt_tpu.core.compcache import enable_compilation_cache
+    enable_compilation_cache()  # $JMT_COMPILATION_CACHE_DIR, if set
     n = extract_tree(args.checkpoint, args.wav_dir, args.dest, args.fps,
                      args.window_s, args.overlap_s)
     print(f"wrote {n} per-frame features under {args.dest}")

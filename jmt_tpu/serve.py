@@ -403,6 +403,10 @@ if __name__ == "__main__":
 
     p = argparse.ArgumentParser()
     p.add_argument("--exp-dir", default=None)
+    p.add_argument("--compilation-cache", default=None,
+                   help="persistent XLA compilation cache dir (default: "
+                        "$JMT_COMPILATION_CACHE_DIR) — serving cold-starts "
+                        "skip the AOT bucket recompiles")
     p.add_argument("--buckets", default="1,8")
     p.add_argument("--heavy", action="store_true",
                    help="self-test with the full flagship model")
@@ -414,6 +418,8 @@ if __name__ == "__main__":
                    help="tensor-parallel serving over N devices "
                         "(parallel/tp.py; shrinks per-request latency)")
     args = p.parse_args()
+    from jmt_tpu.core.compcache import enable_compilation_cache
+    enable_compilation_cache(args.compilation_cache)
     buckets = tuple(int(x) for x in args.buckets.split(","))
     if args.exp_dir:
         # frontend FIRST: the server AOT-compiles its buckets with the

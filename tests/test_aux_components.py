@@ -252,3 +252,22 @@ def test_cli_synthetic_datasets_include_wavlm_store():
     assert store is not None
     feats = store.lookup_batch([[train.records[0].wav_dir + "/00033.wav"]])
     assert feats.shape == (1, 1, 768) and np.abs(feats).max() > 0
+
+
+def test_persistent_compilation_cache(tmp_path):
+    """core/compcache writes XLA executables to the configured dir so
+    production restarts/serving cold-starts skip recompilation."""
+    from jmt_tpu.core.compcache import enable_compilation_cache
+    import jax, jax.numpy as jnp
+    d = enable_compilation_cache(str(tmp_path / "cc"))
+    assert d == str(tmp_path / "cc")
+    # idempotent + env fallback is a no-op when unset
+    assert enable_compilation_cache(d) == d
+
+    @jax.jit
+    def f(x):
+        return (x * 3.0 + 1.0).sum()
+
+    f(jnp.arange(128.0)).block_until_ready()
+    entries = os.listdir(d)
+    assert entries, "no cache entries written"

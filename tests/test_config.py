@@ -216,3 +216,19 @@ def test_yaml_roundtrip(tmp_path):
     cfg.save_yaml(p)
     cfg2 = Config.from_file(p)
     assert cfg2.to_dict() == cfg.to_dict()
+
+
+def test_cli_passthrough_equals_form_and_errors():
+    from jmt_tpu import cli
+    args = cli.parse_args(["--num_heads=2", "--opt__lr=0.01",
+                           "--set", "SEED=3"])
+    assert "num_heads=2" in args.set and "opt__lr=0.01" in args.set
+    assert "SEED=3" in args.set
+    cfg = cli.build_config(args)
+    assert cfg.model_params.num_heads == 2
+    assert cfg.model_params.opt.lr == 0.01 and cfg.SEED == 3
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):      # flag without a value
+        cli.parse_args(["--num_heads"])
+    with _pytest.raises(SystemExit):      # bare positional operand
+        cli.parse_args(["stray"])
