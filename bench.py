@@ -208,8 +208,12 @@ def measure_torch_baseline():
 
 
 def main():
-    from jmt_tpu.core.compcache import enable_compilation_cache
-    enable_compilation_cache()  # $JMT_COMPILATION_CACHE_DIR, if set
+    from jmt_tpu.core.compcache import enable_compilation_cache, ENV_VAR
+    # default to a repo-local cache: the flagship graph takes ~16 min of
+    # remote compile on the axon relay, 69 s warm (measured; identical
+    # throughput/p50 either way — warmup iterations still run on device)
+    enable_compilation_cache(os.environ.get(ENV_VAR)
+                             or os.path.join(REPO, ".xla_cache"))
     kib = 0
     if "--scoped-vmem" in sys.argv:
         kib = int(sys.argv[sys.argv.index("--scoped-vmem") + 1])
