@@ -361,19 +361,25 @@ def measure_latency(server: InferenceServer, bucket: int,
     }
 
 
-def _selftest(buckets=(1, 8), heavy=False) -> Dict:
-    """Synthetic-weights self-test: AOT-compile + latency per bucket."""
-    import __main__  # noqa: F401
+def _selftest_model(heavy: bool):
+    """light = R2D1+ResNet18 only; heavy = the full flagship
+    (R2D1+I3D / ResNet18+wavLM with intra-modal transformer fusion)."""
     from jmt_tpu.models.jmt_model import JMTModel
-    from jmt_tpu.train.loops import _preprocess
-
-    model = JMTModel(
+    return JMTModel(
         vision_backbones=("R2D1", "I3D") if heavy else ("R2D1",),
         audio_backbones=("ResNet18", "wavLM") if heavy else ("ResNet18",),
         intra_modal_fusion=("encoder_plus_self_attention" if heavy
                             else "None"),
         joint_modalities="TRANSFORMER", output_format="SELF_ATTEN",
         dtype=jnp.bfloat16)
+
+
+def _selftest(buckets=(1, 8), heavy=False) -> Dict:
+    """Synthetic-weights self-test: AOT-compile + latency per bucket."""
+    import __main__  # noqa: F401
+    from jmt_tpu.train.loops import _preprocess
+
+    model = _selftest_model(heavy)
     rng = np.random.default_rng(0)
     arrays = {
         "clips": rng.integers(0, 255, (1, 16, 8, 112, 112, 3),
@@ -441,5 +447,5 @@ if __name__ == "__main__":
                                                device_input=True)}
             for b in buckets}}
     else:
-        stats = _selftest(buckets)
+        stats = _selftest(buckets, heavy=args.heavy)
     print(json.dumps(stats))

@@ -224,6 +224,27 @@ def test_inference_server_buckets_and_padding():
     assert np.isfinite(v).all()
 
 
+def test_selftest_heavy_builds_flagship():
+    """Regression: the serve CLI's --heavy flag must reach _selftest —
+    it was parsed but dropped, so 'heavy' latency numbers were silently
+    measured on the light (R2D1+ResNet18, no-I3D) model."""
+    from jmt_tpu.serve import _selftest_model
+
+    light = _selftest_model(False)
+    heavy = _selftest_model(True)
+    assert light.vision_backbones == ("R2D1",)
+    assert light.audio_backbones == ("ResNet18",)
+    assert heavy.vision_backbones == ("R2D1", "I3D")
+    assert heavy.audio_backbones == ("ResNet18", "wavLM")
+    assert heavy.intra_modal_fusion == "encoder_plus_self_attention"
+    # and the CLI passes the flag through (source-level check: the
+    # __main__ block is not importable, so pin the call site)
+    import inspect
+    import jmt_tpu.serve as serve_mod
+    src = inspect.getsource(serve_mod)
+    assert "_selftest(buckets, heavy=args.heavy)" in src
+
+
 def test_separable_max_pool_exact_vs_reduce_window():
     """Pins the exactness property behind the round-2 pool-lowering
     experiments (STATUS.md): a max window separates into per-dim maxima
