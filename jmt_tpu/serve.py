@@ -447,5 +447,10 @@ if __name__ == "__main__":
                                                device_input=True)}
             for b in buckets}}
     else:
+        if args.wavlm_checkpoint or args.tp:
+            import sys
+            print("warning: --wavlm-checkpoint/--tp apply only with "
+                  "--exp-dir (the synthetic self-test ignores them)",
+                  file=sys.stderr)
         stats = _selftest(buckets, heavy=args.heavy)
     print(json.dumps(stats))
