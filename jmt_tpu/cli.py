@@ -183,8 +183,9 @@ def main(argv=None) -> int:
     from jmt_tpu.core.compcache import enable_compilation_cache
     enable_compilation_cache(cfg.compilation_cache_dir or None)
     exp = ExperimentDir(cfg)
+    # stdout backend gated on cfg.verbose (reference parseit.py:594-595)
     init_logger(exp.path if cfg.Mode == "Training" or args.exp_dir
-                else None)
+                else None, stdout=cfg.verbose)
     train_ds, val_ds, test_ds, store = make_datasets(cfg, args.synthetic)
 
     from jmt_tpu.train.runner import Runner

@@ -105,29 +105,49 @@ def lr_schedule(opt: OptimParams) -> Callable[[int], float]:
     name = opt.name_lr_scheduler
     if not opt.lr_scheduler:
         return lambda epoch: base
+    # last_epoch resume (the reference passes opt.last_epoch into every
+    # scheduler constructor, instantiator.py:57-92; default -1 = fresh).
+    # torch's step-family schedulers resume RECURRENTLY from the
+    # optimizer's current lr: training epoch e sits at absolute epoch
+    # e+N+1 and only decay boundaries in (N, e+N+1] apply — matched
+    # exactly below. The cosine family's torch recurrence is
+    # path-dependent under resume (it assumes the group lr was also
+    # restored); we apply the closed form at the shifted epoch, the
+    # evidently intended behavior.
+    n_last = int(opt.last_epoch)
+    off = n_last + 1
     if name == "step":
-        return lambda e: base * opt.gamma ** (e // opt.step_size)
+        return lambda e: base * opt.gamma ** (
+            (e + off) // opt.step_size - max(n_last, 0) // opt.step_size)
     if name == "mystep":
         # MyStepLR: floor at min_lr (my_lr_scheduler.py:32-35)
-        return lambda e: max(base * opt.gamma ** (e // opt.step_size),
-                             opt.min_lr)
+        return lambda e: max(
+            base * opt.gamma ** ((e + off) // opt.step_size
+                                 - max(n_last, 0) // opt.step_size),
+            opt.min_lr)
     if name == "cosine":
         # torch CosineAnnealingLR closed form
         return lambda e: opt.min_lr + (base - opt.min_lr) * (
-            1 + math.cos(math.pi * e / opt.t_max)) / 2
+            1 + math.cos(math.pi * (e + off) / opt.t_max)) / 2
     if name == "mycosine":
         # MyCosineLR (my_lr_scheduler.py:73-78); max_epochs comes from
         # model_params (the reference feeds the whole model_params dict to
         # the optimizer factory, instantiator.py:152-154)
         max_epochs = float(opt.max_epochs)
         return lambda e: max(
-            base * opt.coef * (1.0 + math.cos((e - 1) * math.pi / max_epochs)),
+            base * opt.coef * (1.0 + math.cos((e + off - 1) * math.pi
+                                              / max_epochs)),
             opt.min_lr)
     if name == "multistep":
         ms = sorted(opt.milestones)
-        return lambda e: base * opt.gamma ** sum(1 for m in ms if e >= m)
+
+        def n_hit(x):  # milestones at or before absolute epoch x
+            return sum(1 for m in ms if x >= m)
+
+        return lambda e: base * opt.gamma ** (n_hit(e + off) - n_hit(n_last))
     if name == "reduce_on_plateau":
         # handled by ReduceLROnPlateau below; loop must use it
+        # (torch's plateau scheduler takes no last_epoch)
         return lambda e: base
     raise ValueError(name)
 

@@ -107,6 +107,47 @@ def test_schedules_match_torch():
             sch.step()
 
 
+@pytest.mark.parametrize("last_epoch", [0, 2, 4])
+def test_last_epoch_resume_matches_torch(last_epoch):
+    """opt.last_epoch continues the decay mid-schedule, matching torch's
+    recurrent resume semantics for the step family exactly (the reference
+    passes it into every scheduler, instantiator.py:57-92)."""
+    for mk_torch, p in [
+        (lambda o: torch.optim.lr_scheduler.StepLR(
+            o, step_size=3, gamma=0.5, last_epoch=last_epoch),
+         OptimParams(name_lr_scheduler="step", lr=0.1, step_size=3,
+                     gamma=0.5, last_epoch=last_epoch)),
+        (lambda o: torch.optim.lr_scheduler.MultiStepLR(
+            o, milestones=[2, 5], gamma=0.1, last_epoch=last_epoch),
+         OptimParams(name_lr_scheduler="multistep", lr=0.1,
+                     milestones=[2, 5], gamma=0.1,
+                     last_epoch=last_epoch)),
+    ]:
+        lin = torch.nn.Linear(2, 2)
+        opt = torch.optim.SGD(lin.parameters(), lr=0.1)
+        for g in opt.param_groups:  # torch requires initial_lr on resume
+            g["initial_lr"] = g["lr"]
+        sch = mk_torch(opt)
+        f = O.lr_schedule(p)
+        for epoch in range(8):
+            torch_lr = opt.param_groups[0]["lr"]
+            assert f(epoch) == pytest.approx(torch_lr, rel=1e-6), \
+                (p.name_lr_scheduler, last_epoch, epoch, f(epoch), torch_lr)
+            opt.step()
+            sch.step()
+    # default -1 keeps the fresh-start behavior
+    f0 = O.lr_schedule(OptimParams(name_lr_scheduler="step", lr=0.1,
+                                   step_size=3, gamma=0.5))
+    assert f0(0) == pytest.approx(0.1)
+    # cosine family: closed form at the shifted epoch
+    fc = O.lr_schedule(OptimParams(name_lr_scheduler="cosine", lr=0.1,
+                                   t_max=10, min_lr=1e-4,
+                                   last_epoch=last_epoch))
+    fc0 = O.lr_schedule(OptimParams(name_lr_scheduler="cosine", lr=0.1,
+                                    t_max=10, min_lr=1e-4))
+    assert fc(0) == pytest.approx(fc0(last_epoch + 1))
+
+
 def test_mycosine_matches_reference_formula():
     import math
     p = OptimParams(name_lr_scheduler="mycosine", lr=1e-3, coef=0.5,
