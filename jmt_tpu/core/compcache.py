@@ -35,12 +35,20 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     path = os.path.abspath(os.path.expanduser(path))
     if _enabled_dir == path:
         return path
-    os.makedirs(path, exist_ok=True)
-    import jax
-    jax.config.update("jax_compilation_cache_dir", path)
-    # cache everything: the workload's graphs are few and large, so the
-    # default min-compile-time/min-size heuristics only lose hits
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    try:
+        os.makedirs(path, exist_ok=True)
+        import jax
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything: the workload's graphs are few and large, so
+        # the default min-compile-time/min-size heuristics only lose hits
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except OSError as e:
+        # a broken cache dir (read-only fs, quota) must never take down
+        # an entry point — run uncached instead
+        import warnings
+        warnings.warn(f"compilation cache disabled ({path}: {e})",
+                      RuntimeWarning)
+        return None
     _enabled_dir = path
     return path
