@@ -232,3 +232,69 @@ def test_cli_passthrough_equals_form_and_errors():
         cli.parse_args(["--num_heads"])
     with _pytest.raises(SystemExit):      # bare positional operand
         cli.parse_args(["stray"])
+
+
+def test_every_reference_parseit_flag_is_recognized():
+    """Exhaustive verbatim compat: every --flag the reference's parseit.py
+    defines (75 add_argument calls, parseit.py:85-289 + the Eval parser)
+    must route into our config — no 'ignoring unknown config key' warning,
+    no argparse rejection. Values come from the reference's own
+    config_file.json defaults so the lattice sees realistic settings."""
+    import json
+    import pathlib
+    import re
+    import warnings
+
+    ref = pathlib.Path("/root/reference/parseit.py")
+    if not ref.exists():
+        pytest.skip("reference tree unavailable")
+    calls = re.findall(r'add_argument\(\s*"--(\w+)"(.*?)\)\n',
+                       ref.read_text(), re.S)
+    leaves = {}
+
+    def walk(d):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                walk(v)
+            else:
+                leaves.setdefault(k, v)
+
+    walk(json.load(open("/root/reference/config_file.json")))
+
+    SAMPLES = {"Mode": "Training", "eval_set": "val",
+               "exp_id": "flagtest", "verbose": "True"}
+    from jmt_tpu import cli
+
+    failures = []
+    for flag, chunk in dict(calls).items():  # dict() dedupes Mode
+        if flag == "fd_exp":
+            # Eval-mode exp-dir alias: needs a real experiment dir; the
+            # alias mapping itself is covered by the Eval CLI tests
+            continue
+        base = flag.split("__")[-1]
+        if flag in SAMPLES:
+            val = SAMPLES[flag]
+        elif base in leaves and leaves[base] is not None:
+            val = str(leaves[base])
+        elif "str2bool" in chunk:
+            val = "True"
+        elif "type=int" in chunk:
+            val = "1"
+        elif "type=float" in chunk:
+            val = "0.1"
+        else:
+            val = "x"
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            try:
+                args = cli.parse_args([f"--{flag}", val])
+                cli.build_config(args)
+            except SystemExit:
+                failures.append((flag, val, "argparse rejected"))
+                continue
+            except Exception:
+                pass  # value rejected downstream => the key WAS routed
+        if any("unknown config key" in str(x.message) for x in w):
+            failures.append((flag, val, "unknown key"))
+    assert len(dict(calls)) >= 70, "reference flag extraction broke"
+    assert not failures, failures
