@@ -298,3 +298,27 @@ def test_every_reference_parseit_flag_is_recognized():
             failures.append((flag, val, "unknown key"))
     assert len(dict(calls)) >= 70, "reference flag extraction broke"
     assert not failures, failures
+
+
+def test_reference_config_file_loads_verbatim():
+    """The reference's own config_file.json loads into Config with no
+    unknown-key warnings (cuda-only keys are in the documented silent
+    set) and the big knobs land where the reference put them."""
+    import json
+    import pathlib
+    import warnings
+
+    p = pathlib.Path("/root/reference/config_file.json")
+    if not p.exists():
+        pytest.skip("reference tree unavailable")
+    raw = json.load(open(p))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = Config.from_dict(raw)
+    unknown = [str(x.message) for x in w
+               if "unknown config key" in str(x.message)]
+    assert not unknown, unknown
+    assert cfg.goal == raw["goal"] and cfg.SEED == raw["SEED"]
+    assert cfg.model_params.opt.lr == raw["model_params"]["opt__lr"]
+    assert (cfg.train_params.loader_params.batch_size
+            == raw["train_params"]["loader_params"]["batch_size"])
