@@ -142,6 +142,13 @@ def make_datasets(cfg: Config, synthetic: str = None):
     from jmt_tpu.data.windowing import TRAIN_SKIP_VIDS
     # 5-fold split convention (parseit.py:480-514) — fills empty labelpaths
     cfg.auto_set_label_paths()
+    if not (cfg.train_params.labelpath and cfg.dataset_wavspath):
+        raise SystemExit(
+            "no dataset configured: set dataset_annotations/"
+            "dataset_rootpath/dataset_wavspath/dataset_realtimestamps "
+            "(+ wavlm_features for the wavLM backbone) in the config — "
+            "see docs/MIGRATION.md §data prep — or pass --synthetic "
+            "N:LEN[:IMG] for a no-data smoke run")
     train_recs = load_video_records(
         cfg.train_params.labelpath, cfg.dataset_wavspath,
         cfg.dataset_realtimestamps, skip=TRAIN_SKIP_VIDS,

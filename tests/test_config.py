@@ -322,3 +322,12 @@ def test_reference_config_file_loads_verbatim():
     assert cfg.model_params.opt.lr == raw["model_params"]["opt__lr"]
     assert (cfg.train_params.loader_params.batch_size
             == raw["train_params"]["loader_params"]["batch_size"])
+
+
+def test_cli_without_data_paths_exits_cleanly():
+    """Missing dataset paths produce an actionable SystemExit, not a raw
+    FileNotFoundError traceback (new-user path: README quickstart minus
+    --synthetic)."""
+    from jmt_tpu import cli
+    with pytest.raises(SystemExit, match="no dataset configured"):
+        cli.make_datasets(Config(), synthetic=None)
