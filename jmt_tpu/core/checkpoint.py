@@ -18,6 +18,7 @@ weights in Training mode — main.py:105-177, SURVEY.md §5.4):
 from __future__ import annotations
 
 import os
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Dict, Optional
 
 import jax
@@ -29,6 +30,16 @@ STATE_FILE = "train_state.msgpack"
 
 def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    """Write via tmp + rename so a preemption mid-write can never leave a
+    truncated checkpoint behind (resume reads whichever complete file the
+    rename last published)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
 
 
 def save_train_state(directory: str, state) -> str:
@@ -43,8 +54,7 @@ def save_train_state(directory: str, state) -> str:
         "epoch": state.epoch,
     }
     path = os.path.join(directory, STATE_FILE)
-    with open(path, "wb") as f:
-        f.write(serialization.msgpack_serialize(payload))
+    _atomic_write(path, serialization.msgpack_serialize(payload))
     return path
 
 
@@ -114,10 +124,58 @@ def export_components(directory: str, params: Dict[str, Any],
             if bs is not None:
                 piece["batch_stats"] = bs
         out = os.path.join(directory, f"{name}.msgpack")
-        with open(out, "wb") as f:
-            f.write(serialization.msgpack_serialize(_to_host(piece)))
+        _atomic_write(out, serialization.msgpack_serialize(_to_host(piece)))
         written[name] = out
     return written
+
+
+class AsyncCheckpointer:
+    """Epoch-end checkpoint I/O on a background thread.
+
+    The reference blocks its epoch loop on ``torch.save`` of every component
+    (main.py:984-995); here the device→host fetch, msgpack serialization and
+    disk write all run on one worker thread while the main thread dispatches
+    the next epoch's device work. This is safe because jax Arrays are
+    immutable (``Runner`` replacing ``self.state`` cannot mutate a captured
+    snapshot) and fetching them from another thread just blocks THAT thread
+    until the device value is ready.
+
+    Exactly one save is in flight: a new save first :meth:`wait`\\ s for the
+    previous one, which also surfaces any exception it raised (a failed
+    write therefore fails the NEXT save call, or :meth:`close`)."""
+
+    def __init__(self) -> None:
+        self._executor = ThreadPoolExecutor(max_workers=1,
+                                            thread_name_prefix="jmt-ckpt")
+        self._pending: Optional[Future] = None
+
+    def _submit(self, fn, *args) -> None:
+        self.wait()
+        self._pending = self._executor.submit(fn, *args)
+
+    def save_train_state(self, directory: str, state) -> None:
+        self._submit(save_train_state, directory, state)
+
+    def export_components(self, directory: str, params,
+                          batch_stats=None) -> None:
+        self._submit(export_components, directory, params, batch_stats)
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) finished; re-raise its
+        exception here if it failed."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending.result()
+
+    def close(self) -> None:
+        self.wait()
+        self._executor.shutdown(wait=True)
+
+    def __enter__(self) -> "AsyncCheckpointer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
 
 def load_component(path: str) -> Dict[str, Any]:

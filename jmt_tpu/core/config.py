@@ -286,6 +286,17 @@ class Config:
     # step recompiles (core/compcache.py; no reference counterpart — torch
     # eager has no compile step).
     compilation_cache_dir: str = ""
+    # write epoch-end checkpoints (train_state.msgpack + best-component
+    # exports) on a background thread, overlapping host fetch + msgpack
+    # serialization + disk I/O with the next epoch's device compute (the
+    # reference blocks its epoch loop on torch.save, main.py:984-995).
+    # Identical files; a failed write surfaces on the next save / fit() end.
+    async_checkpoint: bool = True
+    # graceful preemption: install a SIGTERM handler that makes fit() save
+    # the train state at the next epoch boundary and exit WITHOUT writing
+    # passed.txt, so re-launching the same command resumes (core/preempt.py;
+    # the reference has no failure-recovery story at all, SURVEY.md §5.3).
+    graceful_preemption: bool = True
     # observability: write a jax.profiler trace of a few train steps of
     # `profile_epoch` into profile_dir (the reference has no tracing at all,
     # SURVEY.md §5.1 — only coarse epoch wall-clocks)
@@ -304,6 +315,8 @@ class Config:
         self.verbose = _as_bool(self.verbose)
         self.dump_best_model_every_time = _as_bool(
             self.dump_best_model_every_time)
+        self.async_checkpoint = _as_bool(self.async_checkpoint)
+        self.graceful_preemption = _as_bool(self.graceful_preemption)
         self.xla_scoped_vmem_kib = int(self.xla_scoped_vmem_kib)
         assert self.xla_scoped_vmem_kib >= 0, self.xla_scoped_vmem_kib
         assert self.Mode in MODES, self.Mode

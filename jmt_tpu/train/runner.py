@@ -28,6 +28,7 @@ from jmt_tpu.core.config import Config, ExperimentDir
 from jmt_tpu.core.logging import get_logger
 from jmt_tpu.core.rng import set_global_seed
 from jmt_tpu.core import checkpoint as ckpt
+from jmt_tpu.core import preempt
 from jmt_tpu.models.jmt_model import model_from_config
 from jmt_tpu.ops.ccc import ccc_metric
 from jmt_tpu.train import optim as O
@@ -280,17 +281,22 @@ class Runner:
         self._best_snapshot = jax.tree.map(
             np.asarray, (self.state.params(), self.state.batch_stats))
 
-    def dump_best(self) -> None:
+    def dump_best(self, async_ckpt: "ckpt.AsyncCheckpointer" = None) -> None:
         """Export the BEST epoch's weights to SavedWeights/ (the reference
         writes the tracked best copies at the end, main.py:1028-1037), or
-        the current state if no snapshot was taken yet."""
+        the current state if no snapshot was taken yet. With `async_ckpt`
+        the serialization + write happen on its background thread."""
         if not is_main_process():
             return
         if self._best_snapshot is not None:
             params, batch_stats = self._best_snapshot
         else:
             params, batch_stats = self.state.params(), self.state.batch_stats
-        ckpt.export_components(self.exp.weights_dir, params, batch_stats)
+        if async_ckpt is not None:
+            async_ckpt.export_components(self.exp.weights_dir, params,
+                                         batch_stats)
+        else:
+            ckpt.export_components(self.exp.weights_dir, params, batch_stats)
 
     def load_components(self, directory: str) -> Dict[str, str]:
         """Assemble the model FROM per-component weight files — ours
@@ -340,40 +346,89 @@ class Runner:
             self.initialize()
         cfg = self.cfg
         start = cfg.model_params.start_epoch
-        for epoch in range(start, cfg.model_params.max_epochs):
-            t0 = datetime.datetime.now()
-            tm = self.train_epoch(epoch)
-            vm = self.validate()
-            self.tracker["train_v"].append(tm.train_ccc_v)
-            self.tracker["train_a"].append(tm.train_ccc_a)
-            self.tracker["valid_v"].append(vm.valid_ccc_v)
-            self.tracker["valid_a"].append(vm.valid_ccc_a)
-            if vm.valid_avg >= self.best["avg"]:
-                self.best = {"avg": vm.valid_avg, "epoch": epoch,
-                             "valid_v": vm.valid_ccc_v,
-                             "valid_a": vm.valid_ccc_a}
-                self.snapshot_best()
-                if cfg.dump_best_model_every_time:
-                    self.dump_best()
-            self.state = dataclasses.replace(self.state, epoch=epoch + 1)
-            # full train-state checkpoint every epoch: true resume from the
-            # LATEST state (beyond the reference, which has no resume).
-            # Pod: host-0 writes (state is replicated, so host 0 has it all)
-            if is_main_process():
-                ckpt.save_train_state(self.exp.weights_dir, self.state)
-            self.log.metrics(step=epoch,
-                             train_ccc_v=tm.train_ccc_v,
-                             train_ccc_a=tm.train_ccc_a,
-                             valid_ccc_v=vm.valid_ccc_v,
-                             valid_ccc_a=vm.valid_ccc_a,
-                             best_epoch=self.best["epoch"],
-                             epoch_seconds=(datetime.datetime.now()
-                                            - t0).total_seconds())
-        self.dump_best()
-        perfs = {"best": self.best, "tracker": self.tracker}
-        if is_main_process():
+        if cfg.graceful_preemption:
+            preempt.install()
+        preempted = False
+        # background checkpoint writer: epoch-end fetch/serialize/write
+        # overlap the next epoch's device compute (cfg.async_checkpoint)
+        acp = (ckpt.AsyncCheckpointer()
+               if cfg.async_checkpoint and is_main_process() else None)
+        try:
+            for epoch in range(start, cfg.model_params.max_epochs):
+                t0 = datetime.datetime.now()
+                tm = self.train_epoch(epoch)
+                if cfg.graceful_preemption and preempt.requested():
+                    # grace-window exit: keep the finished epoch's training
+                    # (identical numerics to an uninterrupted run), skip its
+                    # validation; resume continues at epoch + 1
+                    self.state = dataclasses.replace(self.state,
+                                                     epoch=epoch + 1)
+                    if is_main_process():
+                        if acp is not None:
+                            acp.save_train_state(self.exp.weights_dir,
+                                                 self.state)
+                        else:
+                            ckpt.save_train_state(self.exp.weights_dir,
+                                                  self.state)
+                    self.log.log(f"preemption: state saved after train "
+                                 f"epoch {epoch}; validation skipped; "
+                                 f"re-launch to resume at {epoch + 1}")
+                    preempted = True
+                    break
+                vm = self.validate()
+                self.tracker["train_v"].append(tm.train_ccc_v)
+                self.tracker["train_a"].append(tm.train_ccc_a)
+                self.tracker["valid_v"].append(vm.valid_ccc_v)
+                self.tracker["valid_a"].append(vm.valid_ccc_a)
+                if vm.valid_avg >= self.best["avg"]:
+                    self.best = {"avg": vm.valid_avg, "epoch": epoch,
+                                 "valid_v": vm.valid_ccc_v,
+                                 "valid_a": vm.valid_ccc_a}
+                    self.snapshot_best()
+                    if cfg.dump_best_model_every_time:
+                        self.dump_best(acp)
+                self.state = dataclasses.replace(self.state, epoch=epoch + 1)
+                # full train-state checkpoint every epoch: true resume from
+                # the LATEST state (beyond the reference, which has no
+                # resume). Pod: host-0 writes (state is replicated, so host
+                # 0 has it all)
+                if is_main_process():
+                    if acp is not None:
+                        acp.save_train_state(self.exp.weights_dir,
+                                             self.state)
+                    else:
+                        ckpt.save_train_state(self.exp.weights_dir,
+                                              self.state)
+                self.log.metrics(step=epoch,
+                                 train_ccc_v=tm.train_ccc_v,
+                                 train_ccc_a=tm.train_ccc_a,
+                                 valid_ccc_v=vm.valid_ccc_v,
+                                 valid_ccc_a=vm.valid_ccc_a,
+                                 best_epoch=self.best["epoch"],
+                                 epoch_seconds=(datetime.datetime.now()
+                                                - t0).total_seconds())
+                if cfg.graceful_preemption and preempt.requested():
+                    # state for epoch+1 is already saved — exit is free
+                    self.log.log(f"preemption: exiting after full epoch "
+                                 f"{epoch}; re-launch to resume")
+                    preempted = True
+                    break
+            if preempted:
+                # export whatever best snapshot exists, but do NOT finalize:
+                # passed.txt stays absent so the same command resumes
+                # instead of hitting the idempotence guard
+                if self._best_snapshot is not None:
+                    self.dump_best(acp)
+            else:
+                self.dump_best(acp)
+        finally:
+            if acp is not None:
+                acp.close()
+        perfs = {"best": self.best, "tracker": self.tracker,
+                 "preempted": preempted}
+        if is_main_process() and not preempted:
             self._plot_tracker()
-            self.exp.finalize(perfs)
+            self.exp.finalize({"best": self.best, "tracker": self.tracker})
         return perfs
 
     def _plot_tracker(self) -> None:
