@@ -199,7 +199,15 @@ def main(argv=None) -> int:
     runner = Runner(cfg, train_ds, val_ds, wavlm_store=store,
                     test_ds=test_ds)
     if cfg.Mode == "Training":
-        if args.resume:
+        # auto-resume a preempted run: a preemption-restart loop re-issues
+        # the IDENTICAL command, so when graceful_preemption left a train
+        # state behind without passed.txt, pick it up even without --resume
+        # (core/preempt.py; explicit --resume keeps working as before).
+        preempted_state = (cfg.graceful_preemption
+                           and not exp.already_done()
+                           and os.path.isfile(os.path.join(
+                               exp.weights_dir, "train_state.msgpack")))
+        if args.resume or preempted_state:
             runner.resume()
         perfs = runner.fit()
         print(json.dumps({"best": perfs.get("best", {})}, default=float))
