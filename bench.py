@@ -48,13 +48,15 @@ def make_host_batch(b=B, s=S, seed=0):
     }
 
 
-def bench_jmt_tpu(i3d_input_size=224, b=B, i3d_chunk=0, scoped_vmem_kib=0):
+def bench_jmt_tpu(i3d_input_size=224, b=B, i3d_chunk=0, scoped_vmem_kib=0,
+                  int8=False):
     import functools
     import jax
     import jax.numpy as jnp
     sys.path.insert(0, REPO)
     from jmt_tpu.models.jmt_model import JMTModel
     from jmt_tpu.train.loops import _preprocess
+    from jmt_tpu.ops import quant
 
     model = JMTModel(
         vision_backbones=("R2D1", "I3D"),
@@ -79,9 +81,13 @@ def bench_jmt_tpu(i3d_input_size=224, b=B, i3d_chunk=0, scoped_vmem_kib=0):
              if scoped_vmem_kib else None)
 
     def _step(variables, arrays):
-        spec, clips = _preprocess(model, arrays, None, augment=False)
-        return model.apply(variables, spec, clips, arrays["wavlm"],
-                           train=False)
+        # int8: eligible backbone convs lower to the s8xs8->s32 MXU path
+        # (ops/quant.py; v5e int8 peak ~2x bf16). Accuracy bound is pinned
+        # by tests/test_quant.py + the parity harness (STATUS.md).
+        with quant.int8_inference(int8):
+            spec, clips = _preprocess(model, arrays, None, augment=False)
+            return model.apply(variables, spec, clips, arrays["wavlm"],
+                               train=False)
 
     # NB: compiler_options is only legal on a TOP-LEVEL jit — step_sum
     # must call the plain function, not a jitted one (nested jit with
@@ -219,6 +225,15 @@ def main():
         kib = int(sys.argv[sys.argv.index("--scoped-vmem") + 1])
     ours, step_dt, p50_s = bench_jmt_tpu(scoped_vmem_kib=kib)
 
+    # opt-in int8 inference leg (ops/quant.py): same flagship graph with
+    # eligible convs on the s8 MXU path — the round-4 arithmetic lever
+    int8_cps = None
+    if "--int8" in sys.argv:
+        int8_cps, int8_dt, int8_p50 = bench_jmt_tpu(scoped_vmem_kib=kib,
+                                                    int8=True)
+        print(f"int8 leg: {int8_cps:.2f} clips/s, p50 "
+              f"{int8_p50 * 1e3:.2f} ms", file=sys.stderr)
+
     # opt-in secondary metric: the native-112 I3D config (exact same
     # pipeline minus the information-free 112->224 upsample; NOT
     # reference-parity — see PARITY.md/STATUS.md; measured 1777 clips/s
@@ -275,6 +290,9 @@ def main():
         "p50_ms_per_clip": round(p50_s * 1e3 / (B * S), 3),
         "mfu_vs_197tflops_bf16": round(mfu, 3),
     }
+    if int8_cps is not None:
+        result["int8_clips_per_sec"] = round(int8_cps, 2)
+        result["int8_p50_request_ms"] = round(int8_p50 * 1e3, 2)
     if native112 is not None:
         result["native112_clips_per_sec"] = round(native112, 2)
     if bsweep:

@@ -58,6 +58,13 @@ def conv_nd(x: jnp.ndarray, kernel: jnp.ndarray,
         3: ("NDHWC", "DHWIO", "NDHWC"),
     }[n_spatial]
     dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape, spec)
+    from jmt_tpu.ops import quant
+    if quant.quant_enabled() and quant.eligible(kernel.shape):
+        # int8 inference mode (ops/quant.py): s8 x s8 -> s32 on the MXU
+        return quant.int8_conv(x, kernel, strides, padding,
+                               dilation=dilation,
+                               feature_group_count=feature_group_count,
+                               dimension_numbers=dn)
     return jax.lax.conv_general_dilated(
         x, kernel, window_strides=tuple(strides), padding=padding,
         rhs_dilation=tuple(dilation) if dilation else None,

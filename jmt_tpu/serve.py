@@ -91,9 +91,10 @@ class InferenceServer:
                  img_size: int = 112, audio_samples: Optional[int] = None,
                  use_wavlm: Optional[bool] = None,
                  wavlm_frontend: Optional[WavLMFrontend] = None,
-                 model_mesh=None):
+                 model_mesh=None, int8: bool = False):
         from jmt_tpu.ops.mel import AUDIO_SAMPLES
         self.model = model
+        self.int8 = bool(int8)
         self.seq = seq
         self.img = img_size
         self.audio_samples = audio_samples or AUDIO_SAMPLES
@@ -141,12 +142,16 @@ class InferenceServer:
 
     def _compile(self, b: int):
         from jmt_tpu.train.loops import _preprocess
+        from jmt_tpu.ops import quant
 
         def fwd(variables, arrays):
-            spec, clips = _preprocess(self.model, arrays, None,
-                                      augment=False)
-            return self.model.apply(variables, spec, clips,
-                                    arrays.get("wavlm"), train=False)
+            # int8 serving (ops/quant.py): eligible backbone convs on the
+            # s8 MXU path — the context is active during .lower()'s trace
+            with quant.int8_inference(self.int8):
+                spec, clips = _preprocess(self.model, arrays, None,
+                                          augment=False)
+                return self.model.apply(variables, spec, clips,
+                                        arrays.get("wavlm"), train=False)
 
         return (jax.jit(fwd)
                 .lower(self.variables, self._example(b))
@@ -200,7 +205,8 @@ class InferenceServer:
     def from_experiment(cls, exp_dir: str, buckets: Sequence[int] = (1, 8),
                         weights: str = "auto",
                         wavlm_frontend: Optional["WavLMFrontend"] = None,
-                        model_mesh=None) -> "InferenceServer":
+                        model_mesh=None, int8: bool = False
+                        ) -> "InferenceServer":
         """Build from a finished training run: final_config.yml + the BEST
         per-component weights (or the final train_state)."""
         import os
@@ -228,7 +234,8 @@ class InferenceServer:
             runner.state = ckpt.restore_train_state(wdir, runner.state)
         return cls(runner.model, runner.state.params(),
                    runner.state.batch_stats, buckets=buckets,
-                   wavlm_frontend=wavlm_frontend, model_mesh=model_mesh)
+                   wavlm_frontend=wavlm_frontend, model_mesh=model_mesh,
+                   int8=int8)
 
 
 class StreamingSession:
@@ -423,6 +430,10 @@ if __name__ == "__main__":
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel serving over N devices "
                         "(parallel/tp.py; shrinks per-request latency)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 inference: eligible backbone convs on the "
+                        "s8 MXU path (ops/quant.py; accuracy bound in "
+                        "tests/test_quant.py + STATUS.md)")
     args = p.parse_args()
     from jmt_tpu.core.compcache import enable_compilation_cache
     enable_compilation_cache(args.compilation_cache)
@@ -440,7 +451,8 @@ if __name__ == "__main__":
         server = InferenceServer.from_experiment(args.exp_dir,
                                                  buckets=buckets,
                                                  wavlm_frontend=frontend,
-                                                 model_mesh=mesh)
+                                                 model_mesh=mesh,
+                                                 int8=args.int8)
         stats = {"buckets": {str(b): {
             "relay": measure_latency(server, b),
             "device_resident": measure_latency(server, b,

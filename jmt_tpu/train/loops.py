@@ -146,17 +146,24 @@ def make_train_step(model, tx, more_vision_augm: bool = False,
 
 
 def make_eval_step(model,
-                   compiler_options: Optional[Dict[str, str]] = None
-                   ) -> Callable:
-    """Returns jitted eval_step(state, arrays) -> (vouts, aouts)."""
+                   compiler_options: Optional[Dict[str, str]] = None,
+                   int8: bool = False) -> Callable:
+    """Returns jitted eval_step(state, arrays) -> (vouts, aouts).
+
+    int8=True routes every eligible backbone conv through the s8xs8->s32
+    MXU path (ops/quant.py int8_inference — the context is active while
+    jit TRACES the body, which is exactly when conv_nd consults it).
+    Inference only; training is never quantized."""
+    from jmt_tpu.ops import quant
 
     @functools.partial(jax.jit, compiler_options=compiler_options)
     def eval_step(state: TrainState, arrays: Dict[str, Any]):
-        spec, clips = _preprocess(model, arrays, None, augment=False)
-        params = merge_params(state.trainable, state.frozen)
-        return model.apply(
-            {"params": params, "batch_stats": state.batch_stats},
-            spec, clips, arrays.get("wavlm"), train=False)
+        with quant.int8_inference(int8):
+            spec, clips = _preprocess(model, arrays, None, augment=False)
+            params = merge_params(state.trainable, state.frozen)
+            return model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                spec, clips, arrays.get("wavlm"), train=False)
 
     return eval_step
 

@@ -1,0 +1,108 @@
+"""int8 quantized inference (ops/quant.py).
+
+Unit accuracy bounds for the quantizers, the trace-time context routing,
+and end-to-end closeness of the int8 eval step to the f32 one. The
+throughput claim is measured on the chip by bench.py --int8 (STATUS.md);
+these tests pin CORRECTNESS on the CPU backend (same XLA semantics:
+s8 x s8 -> s32 conv, dequant by s_x * s_w[c]).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from jmt_tpu.ops import quant
+from jmt_tpu.ops.conv import conv_nd
+
+
+def test_weight_quantization_error_bound():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(3, 3, 32, 16)).astype(np.float32))
+    q, s = quant.quantize_weight_per_channel(w)
+    assert q.dtype == jnp.int8 and s.shape == (16,)
+    back = np.asarray(q, np.float32) * np.asarray(s)
+    # symmetric quantization error <= scale/2 = max|w_c| / 254 per channel
+    err = np.abs(back - np.asarray(w))
+    bound = np.asarray(s) / 2 + 1e-7
+    assert (err <= bound).all()
+
+
+def test_int8_conv_close_to_f32():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 32, 64)).astype(np.float32) / 10)
+    ref = conv_nd(x, w, strides=(1, 1), padding="SAME")
+    with quant.int8_inference():
+        got = conv_nd(x, w, strides=(1, 1), padding="SAME")
+    assert got.dtype == ref.dtype
+    rel = (np.linalg.norm(np.asarray(got - ref))
+           / np.linalg.norm(np.asarray(ref)))
+    assert rel < 0.02, rel  # ~1% expected from 8-bit activations+weights
+
+
+def test_context_is_trace_time_and_restores():
+    x = jnp.ones((1, 8, 8, 32), jnp.float32)
+    w = jnp.ones((3, 3, 32, 8), jnp.float32)
+    assert not quant.quant_enabled()
+    with quant.int8_inference():
+        assert quant.quant_enabled()
+        with quant.int8_inference(False):
+            assert not quant.quant_enabled()
+        assert quant.quant_enabled()
+    assert not quant.quant_enabled()
+    # jit traced INSIDE the context keeps the int8 lowering when called
+    # outside it (the flag is consumed at trace time)
+    @jax.jit
+    def f(x, w):
+        with quant.int8_inference():
+            return conv_nd(x, w, strides=(1, 1), padding="SAME")
+    y = f(x, w)  # all-ones input: q/deq is exact, conv of ones = 9*32
+    np.testing.assert_allclose(np.asarray(y)[0, 2, 2], 9 * 32, rtol=1e-5)
+
+
+def test_small_contraction_stays_unquantized():
+    # Cin=3 stem-like conv: below _MIN_CONTRACTION, must be exact f32
+    x = jnp.asarray(np.random.default_rng(2)
+                    .normal(size=(1, 8, 8, 3)).astype(np.float32))
+    w = jnp.asarray(np.random.default_rng(3)
+                    .normal(size=(3, 3, 3, 8)).astype(np.float32))
+    ref = conv_nd(x, w, strides=(1, 1), padding="SAME")
+    with quant.int8_inference():
+        got = conv_nd(x, w, strides=(1, 1), padding="SAME")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.slow
+def test_int8_eval_step_close_to_f32(tmp_path):
+    """Full flagship-shaped eval step, int8 vs f32: V/A outputs stay close
+    (the honest accuracy number for the chip bench's int8 leg)."""
+    from jmt_tpu.core.config import Config
+    from jmt_tpu.data.synthetic import synthetic_dataset
+    from jmt_tpu.train.runner import Runner
+    from jmt_tpu.train.loops import make_eval_step
+    from jmt_tpu.data.loader import PrefetchLoader
+
+    cfg = Config.from_dict({
+        "exp_id": "q8", "outd": str(tmp_path / "exps"),
+        "train_params": {"loader_params": {"batch_size": 2}},
+        "val_params": {"loader_params": {"batch_size": 2}},
+        "model_params": {
+            "l_vision_backbones": "R2D1", "l_audio_backbones": "ResNet18",
+            "joint_modalities": "TRANSFORMER", "output_format": "SELF_ATTEN",
+            "num_heads": 1, "num_layers": 1, "max_epochs": 1,
+            "compute_dtype": "float32"},
+        "SEED": 0, "mesh_data_parallel": 1,
+    })
+    train = synthetic_dataset("train", n_videos=2, length=481, img_size=48)
+    r = Runner(cfg, train, train)
+    r.initialize()
+    batch = next(iter(PrefetchLoader(train, 2, shuffle=False)))
+    arrays, _ = r._device_arrays(batch, 2)
+    v0, a0 = r.eval_step(r.state, arrays)
+    q_step = make_eval_step(r.model, int8=True)
+    v1, a1 = q_step(r.state, arrays)
+    v0, a0, v1, a1 = (np.asarray(t).reshape(-1) for t in (v0, a0, v1, a1))
+    # outputs live in ~[-1, 1]; int8 backbone drift must stay small
+    assert np.max(np.abs(v1 - v0)) < 0.1, np.max(np.abs(v1 - v0))
+    assert np.max(np.abs(a1 - a0)) < 0.1, np.max(np.abs(a1 - a0))
