@@ -225,14 +225,19 @@ def main():
         kib = int(sys.argv[sys.argv.index("--scoped-vmem") + 1])
     ours, step_dt, p50_s = bench_jmt_tpu(scoped_vmem_kib=kib)
 
-    # opt-in int8 inference leg (ops/quant.py): same flagship graph with
-    # eligible convs on the s8 MXU path — the round-4 arithmetic lever
+    # int8 inference leg (ops/quant.py): same flagship graph with eligible
+    # convs on the s8 MXU path — the round-4 arithmetic lever. Default ON
+    # (one extra cached compile) so the driver's BENCH record carries it;
+    # --no-int8 skips, and a failure never kills the headline number.
     int8_cps = None
-    if "--int8" in sys.argv:
-        int8_cps, int8_dt, int8_p50 = bench_jmt_tpu(scoped_vmem_kib=kib,
-                                                    int8=True)
-        print(f"int8 leg: {int8_cps:.2f} clips/s, p50 "
-              f"{int8_p50 * 1e3:.2f} ms", file=sys.stderr)
+    if "--no-int8" not in sys.argv:
+        try:
+            int8_cps, int8_dt, int8_p50 = bench_jmt_tpu(
+                scoped_vmem_kib=kib, int8=True)
+            print(f"int8 leg: {int8_cps:.2f} clips/s, p50 "
+                  f"{int8_p50 * 1e3:.2f} ms", file=sys.stderr)
+        except Exception as e:
+            print(f"int8 leg failed: {e}", file=sys.stderr)
 
     # opt-in secondary metric: the native-112 I3D config (exact same
     # pipeline minus the information-free 112->224 upsample; NOT
@@ -293,6 +298,9 @@ def main():
     if int8_cps is not None:
         result["int8_clips_per_sec"] = round(int8_cps, 2)
         result["int8_p50_request_ms"] = round(int8_p50 * 1e3, 2)
+        # accuracy bound for the int8 leg, pinned by tests/test_quant.py
+        # (conv-level ~1% rel err; flagship eval V/A within 0.1 abs of f32)
+        result["int8_accuracy_bound"] = "V/A abs<=0.1 vs f32 (test_quant)"
     if native112 is not None:
         result["native112_clips_per_sec"] = round(native112, 2)
     if bsweep:

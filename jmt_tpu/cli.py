@@ -201,10 +201,13 @@ def main(argv=None) -> int:
     if cfg.Mode == "Training":
         # auto-resume a preempted run: a preemption-restart loop re-issues
         # the IDENTICAL command, so when graceful_preemption left a train
-        # state behind without passed.txt, pick it up even without --resume
-        # (core/preempt.py; explicit --resume keeps working as before).
+        # state behind without passed.txt, pick it up even without --resume.
+        # Gated on the preempted.txt sentinel (written ONLY by the graceful
+        # exit path) so ordinary crashes — OOM, Ctrl-C, bad config — don't
+        # silently resume a stale state; those need an explicit --resume.
         preempted_state = (cfg.graceful_preemption
                            and not exp.already_done()
+                           and os.path.isfile(exp.preempted_marker)
                            and os.path.isfile(os.path.join(
                                exp.weights_dir, "train_state.msgpack")))
         if args.resume or preempted_state:

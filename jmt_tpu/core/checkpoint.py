@@ -35,14 +35,33 @@ def _to_host(tree):
 def _atomic_write(path: str, data: bytes) -> None:
     """Write via tmp + rename so a preemption mid-write can never leave a
     truncated checkpoint behind (resume reads whichever complete file the
-    rename last published)."""
+    rename last published).
+
+    TPU preemption terminates the whole VM — the page cache dies with it —
+    so atomicity needs durability too: fsync the tmp file BEFORE the rename
+    (else the rename can publish a truncated file) and fsync the directory
+    AFTER (else the rename itself can be lost, which is safe, or worse on
+    some filesystems reorder against the data)."""
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    dfd = os.open(os.path.dirname(os.path.abspath(path)), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
-def save_train_state(directory: str, state) -> str:
+def save_train_state(directory: str, state, extra: Optional[dict] = None
+                     ) -> str:
+    """`extra` is an optional msgpack-able dict persisted alongside the
+    state — the Runner stores its best-epoch tracking (best metrics, the
+    best-snapshot weights, tracker curves) there so that a preemption
+    resume selects the best model over the WHOLE run, not just the
+    post-resume epochs."""
     os.makedirs(directory, exist_ok=True)
     payload = {
         "trainable": _to_host(state.trainable),
@@ -53,9 +72,21 @@ def save_train_state(directory: str, state) -> str:
         "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
         "epoch": state.epoch,
     }
+    if extra is not None:
+        payload["extra"] = extra
     path = os.path.join(directory, STATE_FILE)
     _atomic_write(path, serialization.msgpack_serialize(payload))
     return path
+
+
+def load_train_state_extra(directory: str) -> Optional[dict]:
+    """The `extra` payload saved with the train state, or None."""
+    path = os.path.join(directory, STATE_FILE)
+    if not os.path.isfile(path):
+        return None
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return payload.get("extra")
 
 
 def restore_train_state(directory: str, template) -> Any:
@@ -153,8 +184,9 @@ class AsyncCheckpointer:
         self.wait()
         self._pending = self._executor.submit(fn, *args)
 
-    def save_train_state(self, directory: str, state) -> None:
-        self._submit(save_train_state, directory, state)
+    def save_train_state(self, directory: str, state,
+                         extra: Optional[dict] = None) -> None:
+        self._submit(save_train_state, directory, state, extra)
 
     def export_components(self, directory: str, params,
                           batch_stats=None) -> None:

@@ -297,6 +297,14 @@ class Config:
     # passed.txt, so re-launching the same command resumes (core/preempt.py;
     # the reference has no failure-recovery story at all, SURVEY.md §5.3).
     graceful_preemption: bool = True
+    # step-granular preemption: additionally poll the preemption flag every
+    # N train steps and checkpoint MID-epoch (0 = epoch boundaries only).
+    # A real Affwild2 epoch runs hours while a TPU preemption grace window
+    # is ~30s-5min; with this on, at most N steps of work are lost and the
+    # resume replays the epoch's data order (pure function of SEED+epoch,
+    # runner.py per-epoch reseed) so the final weights are bit-identical to
+    # an uninterrupted run.
+    preempt_save_steps: int = 0
     # observability: write a jax.profiler trace of a few train steps of
     # `profile_epoch` into profile_dir (the reference has no tracing at all,
     # SURVEY.md §5.1 — only coarse epoch wall-clocks)
@@ -317,6 +325,7 @@ class Config:
             self.dump_best_model_every_time)
         self.async_checkpoint = _as_bool(self.async_checkpoint)
         self.graceful_preemption = _as_bool(self.graceful_preemption)
+        self.preempt_save_steps = int(self.preempt_save_steps)
         self.xla_scoped_vmem_kib = int(self.xla_scoped_vmem_kib)
         assert self.xla_scoped_vmem_kib >= 0, self.xla_scoped_vmem_kib
         assert self.Mode in MODES, self.Mode
@@ -485,6 +494,14 @@ class ExperimentDir:
     def passed_marker(self) -> str:
         return os.path.join(self.path, "passed.txt")
 
+    @property
+    def preempted_marker(self) -> str:
+        """Sentinel written ONLY on the graceful-preemption exit path; the
+        CLI's implicit auto-resume is gated on it so that ordinary crashes
+        (OOM, Ctrl-C, bad config) don't silently resume a stale state —
+        those still require an explicit --resume."""
+        return os.path.join(self.path, "preempted.txt")
+
     def already_done(self) -> bool:
         return os.path.isfile(self.passed_marker)
 
@@ -504,3 +521,5 @@ class ExperimentDir:
             yaml.safe_dump(perfs, f, sort_keys=False)
         with open(self.passed_marker, "w") as f:
             f.write("done\n")
+        if os.path.isfile(self.preempted_marker):
+            os.remove(self.preempted_marker)  # run completed after resume

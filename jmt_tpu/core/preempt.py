@@ -65,5 +65,25 @@ def requested() -> bool:
     return _EVENT.is_set()
 
 
+def agreed() -> bool:
+    """Cross-process consensus on the preemption flag.
+
+    On a pod, SIGTERM delivery skews across hosts: if each process acted on
+    its LOCAL flag, one host could break out of the epoch loop while the
+    others proceed into the next collective — a permanent hang and no
+    checkpoint. Every boundary check instead all-reduces the flag (max), so
+    all processes take the same branch. The allgather is itself a lockstep
+    collective, which is safe exactly because every process calls this at
+    the same program points. Single process: the local flag."""
+    import jax
+    if jax.process_count() == 1:
+        return _EVENT.is_set()
+    import numpy as np
+    from jax.experimental import multihost_utils
+    flags = multihost_utils.process_allgather(
+        np.asarray(_EVENT.is_set(), np.int32))
+    return bool(np.max(flags))
+
+
 def clear() -> None:
     _EVENT.clear()

@@ -151,17 +151,120 @@ def learnable_records(n_videos: int = 3, length: int = 961,
 
 
 def learnable_dataset(split: str, n_videos: int = 3, length: int = 961,
-                      stride: int = 32, img_size: int = 32, seed: int = 0
-                      ) -> WindowedDataset:
+                      stride: int = 32, img_size: int = 32, seed: int = 0,
+                      records=None, audio_loader=None) -> WindowedDataset:
     """Anchor coverage note: window anchors are always ≡ 1 (mod 32) unless
     stride makes window ends sweep all residues — with stride=1 every frame
     1..length receives a prediction (the reference's shipped setting);
     any other stride leaves stitch gaps, so the coverage check is enabled
     exactly for the stride-1 eval geometry."""
     return WindowedDataset(
-        learnable_records(n_videos, length, seed), split=split,
+        records if records is not None
+        else learnable_records(n_videos, length, seed), split=split,
         stride=stride,
         frame_loader=learnable_frame_loader,
-        audio_loader=synthetic_audio_loader,
+        audio_loader=audio_loader or synthetic_audio_loader,
         img_size=img_size,
         check_coverage=(stride == 1 and split != "train"))
+
+
+# ---------------------------------------------------------------------------
+# MULTIMODAL learnable data: VALENCE lives ONLY in the frames (red-blue
+# tilt), AROUSAL lives ONLY in the audio (tone frequency) and the wavLM
+# features — so a full-fusion model must route the audio signal through
+# intra-modal fusion and the JMT cross-attention stack to score on the
+# arousal axis, while a vision-only model provably cannot (the cross-check
+# that pins the audio path, VERDICT r3 #2). Every generator below is a pure
+# function of (seed, video index, frame id), so the frame/audio/wavLM
+# loaders recompute the SAME traces from the path strings alone.
+# ---------------------------------------------------------------------------
+def _mm_trace(seed: int, vi: int, frame_ids: np.ndarray):
+    rng = np.random.default_rng(seed + 500 + vi)
+    pv, pa = rng.uniform(0, 2 * np.pi, size=2)
+    t = frame_ids / 30.0
+    v = 0.8 * np.sin(2 * np.pi * t / 8.0 + pv)
+    a = 0.7 * np.sin(2 * np.pi * t / 11.0 + pa)
+    return v.astype(np.float32), a.astype(np.float32)
+
+
+def _mm_parse(path: str):
+    """.../{seed}/learnmm{vi}/{frame}.{ext} -> (seed, vi, frame id)."""
+    parts = path.split("/")
+    stem = parts[-1].rsplit(".", 1)[0]
+    return int(parts[-3]), int(parts[-2][len("learnmm"):]), int(stem)
+
+
+def mm_frame_loader(path: str) -> Optional[np.ndarray]:
+    """Valence as a red-blue tilt (jitter-robust, see learnable_frame_loader
+    note); the green channel is NEUTRAL — no arousal information."""
+    seed, vi, fid = _mm_parse(path)
+    v, _ = _mm_trace(seed, vi, np.asarray([fid], np.float64))
+    rng = np.random.default_rng(_seed_from(path))
+    img = np.empty((IMG_SIZE, IMG_SIZE, 3), np.float32)
+    img[..., 0] = 128.0 + 52.0 * v[0]
+    img[..., 1] = 128.0
+    img[..., 2] = 128.0 - 52.0 * v[0]
+    img += rng.normal(0, 6.0, size=img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def mm_audio_loader(path: str) -> Optional[np.ndarray]:
+    """Arousal as tone FREQUENCY: f = 450 + 350*a Hz (100..800 Hz spans many
+    mel bins; frequency, unlike amplitude, survives gain-style transforms).
+    The wav at anchor n encodes a(n) exactly — per-clip alignment with the
+    anchor labels the windower emits."""
+    seed, vi, fid = _mm_parse(path)
+    _, a = _mm_trace(seed, vi, np.asarray([fid], np.float64))
+    rng = np.random.default_rng(_seed_from(path))
+    n = SAMPLE_RATE
+    t = np.arange(n) / SAMPLE_RATE
+    f0 = 450.0 + 350.0 * float(a[0])
+    x = 0.3 * np.sin(2 * np.pi * f0 * t) + 0.02 * rng.normal(size=n)
+    return x.astype(np.float32)
+
+
+def mm_wavlm_loader(path: str) -> Optional[np.ndarray]:
+    """'WavLM' features carrying arousal linearly in the first dims — joins
+    through WavlmFeatureStore ({root}/{vid}/{anchor}.npy), so a wavlm
+    misjoin (wrong video/frame) destroys the signal and fails the e2e."""
+    seed, vi, fid = _mm_parse(path)
+    _, a = _mm_trace(seed, vi, np.asarray([fid], np.float64))
+    rng = np.random.default_rng(_seed_from(path))
+    feat = rng.normal(scale=0.05, size=768).astype(np.float32)
+    feat[:16] += a[0]
+    return feat
+
+
+def mm_records(n_videos: int = 3, length: int = 961,
+               seed: int = 0) -> List[VideoRecord]:
+    records = []
+    for vi in range(n_videos):
+        ids = np.arange(1, length + 1)
+        v, a = _mm_trace(seed, vi, ids.astype(np.float64))
+        records.append(VideoRecord(
+            name=f"learnmm{vi:03d}",
+            image_paths=[f"{seed}/learnmm{vi:03d}/{i:05d}.jpg" for i in ids],
+            labels_v=v,
+            labels_a=a,
+            frame_ids=ids.astype(np.int64),
+            length=length,
+            wav_dir=f"/synthetic/mmaudio/{seed}/learnmm{vi:03d}",
+        ))
+    return records
+
+
+def mm_learnable_dataset(split: str, n_videos: int = 3, length: int = 961,
+                         stride: int = 32, img_size: int = 32,
+                         seed: int = 0) -> WindowedDataset:
+    return WindowedDataset(
+        mm_records(n_videos, length, seed), split=split, stride=stride,
+        frame_loader=mm_frame_loader,
+        audio_loader=mm_audio_loader,
+        img_size=img_size,
+        check_coverage=(stride == 1 and split != "train"))
+
+
+def mm_wavlm_store(seed: int = 0):
+    from jmt_tpu.data.datasets import WavlmFeatureStore
+    return WavlmFeatureStore(f"/synthetic/mmwavlm/{seed}",
+                             loader=mm_wavlm_loader)

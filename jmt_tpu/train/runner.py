@@ -89,6 +89,12 @@ class Runner:
         # reference deep-copies state dicts on improvement and writes THOSE
         # at the end (main.py:843-995, 1028-1037)
         self._best_snapshot = None
+        # set by a step-granular preemption inside train_epoch: the payload
+        # needed to re-enter that epoch at the same step on resume
+        self._preempted_mid: Optional[dict] = None
+        # restored by resume() from a mid-epoch checkpoint: fast-forward
+        # instructions for the first post-resume train_epoch
+        self._mid_epoch: Optional[dict] = None
         # the production data-parallel mesh (cfg.mesh_data_parallel; the
         # reference applies its DP wrapper in the run path, main.py:304-306)
         self.mesh = make_mesh(cfg.mesh_data_parallel, n_dcn=cfg.mesh_dcn)
@@ -186,6 +192,19 @@ class Runner:
         bsz = cfg.train_params.loader_params.batch_size
         vout, vtar, aout, atar = [], [], [], []
         epoch_loss, n = 0.0, 0
+        # mid-epoch resume: replay the epoch's data order (a pure function
+        # of SEED+epoch via the reseed above) but skip the first `skip`
+        # steps' device work, restoring their loss/metric accumulators from
+        # the checkpoint — the continued run is bit-identical to an
+        # uninterrupted one.
+        skip = 0
+        if self._mid_epoch is not None and self._mid_epoch["epoch"] == epoch:
+            me, self._mid_epoch = self._mid_epoch, None
+            skip = me["step"]
+            epoch_loss, n = me["epoch_loss"], skip
+            vout, aout = list(me["vout"]), list(me["aout"])
+            vtar, atar = list(me["vtar"]), list(me["atar"])
+        seen = 0
         n_proc = self.procs[1]
         loader = PrefetchLoader(
             self.train_ds, bsz // n_proc,
@@ -196,6 +215,13 @@ class Runner:
         profiling = bool(cfg.profile_dir) and epoch == cfg.profile_epoch
         t_step = datetime.datetime.now()
         for batch in loader:
+            if seen < skip:
+                # consume the batch (host transforms keep the global RNG
+                # stream aligned) and the step's device key, compute nothing
+                seen += 1
+                key, _ = jax.random.split(key)
+                continue
+            seen += 1
             arrays, n_real = self._device_arrays(batch, bsz,
                                                  distributed_load=True)
             key, sub = jax.random.split(key)
@@ -224,8 +250,22 @@ class Runner:
             aout.extend(gather_rows(aouts).reshape(-1)[keep])
             vtar.extend(gather_rows(arrays["labels_v"]).reshape(-1)[keep])
             atar.extend(gather_rows(arrays["labels_a"]).reshape(-1)[keep])
+            # step-granular preemption (cfg.preempt_save_steps): poll every
+            # N steps — the consensus call is a lockstep collective, safe
+            # because every process hits the same step cadence (lockstep
+            # loaders) — and hand fit() the mid-epoch payload to checkpoint
+            if (cfg.preempt_save_steps and cfg.graceful_preemption
+                    and n % cfg.preempt_save_steps == 0 and preempt.agreed()):
+                self._preempted_mid = {
+                    "epoch": epoch, "step": n,
+                    "epoch_loss": float(epoch_loss),
+                    "vout": np.asarray(vout, np.float32),
+                    "aout": np.asarray(aout, np.float32),
+                    "vtar": np.asarray(vtar, np.float32),
+                    "atar": np.asarray(atar, np.float32)}
+                break
 
-        if self.plateau is not None and n:
+        if self.plateau is not None and n and self._preempted_mid is None:
             self.plateau.step(epoch_loss / n)
         m = EpochMetrics(
             train_ccc_v=float(ccc_metric(jnp.asarray(np.array(vout)),
@@ -320,6 +360,67 @@ class Runner:
             self.log.log(f"Loaded component weights [{name}]: {path}")
         return loaded
 
+    def _ckpt_extra(self, mid_epoch: Optional[dict] = None) -> dict:
+        """Runner-level tracking persisted WITH the train state so a
+        preemption resume selects the best model over the WHOLE run (not
+        just post-resume epochs) and reports complete tracker curves."""
+        extra = {
+            "best": {k: (int(v) if k == "epoch" else float(v))
+                     for k, v in self.best.items()},
+            "tracker": {k: [float(x) for x in v]
+                        for k, v in self.tracker.items()},
+        }
+        if self._best_snapshot is not None:
+            extra["best_snapshot"] = {
+                "params": self._best_snapshot[0],
+                "batch_stats": self._best_snapshot[1]}
+        if self.plateau is not None:
+            p = {"lr": float(self.plateau.lr),
+                 "num_bad": int(self.plateau.num_bad)}
+            if self.plateau.best is not None:
+                p["best"] = float(self.plateau.best)
+            extra["plateau"] = p
+        if mid_epoch is not None:
+            extra["mid_epoch"] = mid_epoch
+        return extra
+
+    def _restore_extra(self, extra: Optional[dict]) -> None:
+        if not extra:
+            return
+        if extra.get("best"):
+            self.best = {k: (int(v) if k == "epoch" else float(v))
+                         for k, v in extra["best"].items()}
+        if extra.get("tracker"):
+            self.tracker = {k: [float(x) for x in v]
+                            for k, v in extra["tracker"].items()}
+        snap = extra.get("best_snapshot")
+        if snap is not None:
+            self._best_snapshot = (snap["params"], snap["batch_stats"])
+        p = extra.get("plateau")
+        if p is not None and self.plateau is not None:
+            self.plateau.lr = float(p["lr"])
+            self.plateau.num_bad = int(p["num_bad"])
+            self.plateau.best = (float(p["best"]) if "best" in p else None)
+        me = extra.get("mid_epoch")
+        if me is not None:
+            self._mid_epoch = {
+                "epoch": int(me["epoch"]), "step": int(me["step"]),
+                "epoch_loss": float(me["epoch_loss"]),
+                "vout": np.asarray(me["vout"], np.float32),
+                "aout": np.asarray(me["aout"], np.float32),
+                "vtar": np.asarray(me["vtar"], np.float32),
+                "atar": np.asarray(me["atar"], np.float32)}
+
+    def _save_state(self, acp: "ckpt.AsyncCheckpointer" = None,
+                    mid_epoch: Optional[dict] = None) -> None:
+        if not is_main_process():
+            return
+        extra = self._ckpt_extra(mid_epoch)
+        if acp is not None:
+            acp.save_train_state(self.exp.weights_dir, self.state, extra)
+        else:
+            ckpt.save_train_state(self.exp.weights_dir, self.state, extra)
+
     def resume(self) -> bool:
         """Restore the full train state from the experiment dir if present
         (true resume — the reference saves weights only and never reloads
@@ -331,8 +432,11 @@ class Runner:
             return False
         self.state = ckpt.restore_train_state(self.exp.weights_dir,
                                               self.state)
+        self._restore_extra(ckpt.load_train_state_extra(self.exp.weights_dir))
         self.cfg.model_params.start_epoch = self.state.epoch
-        self.log.log(f"resumed from {path} at epoch {self.state.epoch}")
+        at = (f" (mid-epoch, step {self._mid_epoch['step']})"
+              if self._mid_epoch else "")
+        self.log.log(f"resumed from {path} at epoch {self.state.epoch}{at}")
         return True
 
     def fit(self) -> Dict[str, float]:
@@ -357,19 +461,25 @@ class Runner:
             for epoch in range(start, cfg.model_params.max_epochs):
                 t0 = datetime.datetime.now()
                 tm = self.train_epoch(epoch)
-                if cfg.graceful_preemption and preempt.requested():
+                if self._preempted_mid is not None:
+                    # step-granular exit: state stays AT `epoch`; resume
+                    # re-enters this epoch and fast-forwards to the saved
+                    # step, so the final weights are bit-identical to an
+                    # uninterrupted run
+                    me, self._preempted_mid = self._preempted_mid, None
+                    self._save_state(acp, mid_epoch=me)
+                    self.log.log(f"preemption: state saved mid-epoch "
+                                 f"{epoch} at step {me['step']}; re-launch "
+                                 f"to resume")
+                    preempted = True
+                    break
+                if cfg.graceful_preemption and preempt.agreed():
                     # grace-window exit: keep the finished epoch's training
                     # (identical numerics to an uninterrupted run), skip its
                     # validation; resume continues at epoch + 1
                     self.state = dataclasses.replace(self.state,
                                                      epoch=epoch + 1)
-                    if is_main_process():
-                        if acp is not None:
-                            acp.save_train_state(self.exp.weights_dir,
-                                                 self.state)
-                        else:
-                            ckpt.save_train_state(self.exp.weights_dir,
-                                                  self.state)
+                    self._save_state(acp)
                     self.log.log(f"preemption: state saved after train "
                                  f"epoch {epoch}; validation skipped; "
                                  f"re-launch to resume at {epoch + 1}")
@@ -392,13 +502,7 @@ class Runner:
                 # the LATEST state (beyond the reference, which has no
                 # resume). Pod: host-0 writes (state is replicated, so host
                 # 0 has it all)
-                if is_main_process():
-                    if acp is not None:
-                        acp.save_train_state(self.exp.weights_dir,
-                                             self.state)
-                    else:
-                        ckpt.save_train_state(self.exp.weights_dir,
-                                              self.state)
+                self._save_state(acp)
                 self.log.metrics(step=epoch,
                                  train_ccc_v=tm.train_ccc_v,
                                  train_ccc_a=tm.train_ccc_a,
@@ -407,7 +511,7 @@ class Runner:
                                  best_epoch=self.best["epoch"],
                                  epoch_seconds=(datetime.datetime.now()
                                                 - t0).total_seconds())
-                if cfg.graceful_preemption and preempt.requested():
+                if cfg.graceful_preemption and preempt.agreed():
                     # state for epoch+1 is already saved — exit is free
                     self.log.log(f"preemption: exiting after full epoch "
                                  f"{epoch}; re-launch to resume")
@@ -416,7 +520,12 @@ class Runner:
             if preempted:
                 # export whatever best snapshot exists, but do NOT finalize:
                 # passed.txt stays absent so the same command resumes
-                # instead of hitting the idempotence guard
+                # instead of hitting the idempotence guard. preempted.txt
+                # gates the CLI's IMPLICIT auto-resume (ordinary crashes
+                # still require an explicit --resume).
+                if is_main_process():
+                    with open(self.exp.preempted_marker, "w") as f:
+                        f.write("graceful preemption; re-launch resumes\n")
                 if self._best_snapshot is not None:
                     self.dump_best(acp)
             else:

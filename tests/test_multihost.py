@@ -50,8 +50,8 @@ def test_host_shards_disjoint_exhaustive_lockstep():
 def test_lockstep_filler_batches():
     ds = _tiny_ds()
     n = len(ds)
-    # a process count that leaves host sizes unequal
-    count = n  # host0 gets 1 sample... use count=n-1: host0 2, rest 1
+    # a process count that leaves host sizes unequal (host 0 gets 2
+    # samples, the rest 1 each), forcing filler batches on the short hosts
     count = max(2, n - 1)
     loaders = [PrefetchLoader(ds, 2, host_shard=(i, count))
                for i in range(count)]

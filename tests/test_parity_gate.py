@@ -1,0 +1,52 @@
+"""Cross-framework parity as a REGRESSION GATE (VERDICT r3 #7).
+
+The flagship parity chain (tools/parity_check.py: identical weights pushed
+through BOTH frameworks end-to-end — preprocessing, backbones, intra-modal
+fusion, JMT, stitching, smoothing) was historically run by hand per round;
+preprocessing-adjacent changes could silently drift it. This test runs the
+chain at HEAD every time the slow suite runs, keeping the BASELINE.json
+north-star criterion (stitched-pred delta < 1e-3) continuously enforced.
+
+Subprocess isolation on purpose: grad_parity() flips jax_enable_x64 for
+the whole process, and parity_check pins jax_platforms=cpu at import — a
+fresh interpreter per leg keeps this suite's JAX config untouched.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(which: str, timeout: int = 1800) -> str:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "parity_check.py"),
+         which],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=timeout)
+    assert p.returncode == 0, (
+        f"parity_check {which} failed:\n{p.stdout[-4000:]}\n"
+        f"{p.stderr[-4000:]}")
+    return p.stdout
+
+
+@pytest.mark.slow
+def test_flagship_parity_at_head():
+    out = _run("flagship")
+    result = json.loads(out.strip().splitlines()[-1])
+    # the script self-asserts < 1e-3; re-assert here so the bound is
+    # visible in THIS suite and PARITY.md can cite the latest numbers
+    assert result["max_abs_pred_delta_valence"] < 1e-3, result
+    assert result["max_abs_pred_delta_arousal"] < 1e-3, result
+    assert result["cross_framework_ccc_valence"] > 0.9999, result
+    assert result["cross_framework_ccc_arousal"] > 0.9999, result
+
+
+@pytest.mark.slow
+def test_grad_parity_at_head():
+    _run("grad")  # self-asserting: loss delta < 1e-6, grad cosine, max |Δ|
