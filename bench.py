@@ -80,11 +80,30 @@ def bench_jmt_tpu(i3d_input_size=224, b=B, i3d_chunk=0, scoped_vmem_kib=0,
     copts = ({"xla_tpu_scoped_vmem_limit_kib": str(scoped_vmem_kib)}
              if scoped_vmem_kib else None)
 
+    # int8="static": calibrate per-conv activation scales on one batch so
+    # the quantize becomes a fusable elementwise op with baked constants —
+    # the dynamic mode's per-conv max-reduce is an extra pass over every
+    # activation tensor plus a fusion break (measured ~neutral on chip)
+    act_scales = None
+    if int8 == "static":
+        @jax.jit
+        def calib_maxes(variables, arrays):
+            coll = []
+            with quant.int8_calibration(coll):
+                spec, clips = _preprocess(model, arrays, None, augment=False)
+                model.apply(variables, spec, clips, arrays["wavlm"],
+                            train=False)
+            return jnp.stack(coll)
+        maxes = np.asarray(calib_maxes(variables, jax.device_put(arrays)))
+        act_scales = quant.act_scales_from_maxes(maxes)
+        print(f"int8 static calibration: {len(act_scales)} conv scales",
+              file=sys.stderr)
+
     def _step(variables, arrays):
         # int8: eligible backbone convs lower to the s8xs8->s32 MXU path
         # (ops/quant.py; v5e int8 peak ~2x bf16). Accuracy bound is pinned
         # by tests/test_quant.py + the parity harness (STATUS.md).
-        with quant.int8_inference(int8):
+        with quant.int8_inference(bool(int8), act_scales=act_scales):
             spec, clips = _preprocess(model, arrays, None, augment=False)
             return model.apply(variables, spec, clips, arrays["wavlm"],
                                train=False)
@@ -230,14 +249,19 @@ def main():
     # (one extra cached compile) so the driver's BENCH record carries it;
     # --no-int8 skips, and a failure never kills the headline number.
     int8_cps = None
+    int8_err = None
     if "--no-int8" not in sys.argv:
         try:
             int8_cps, int8_dt, int8_p50 = bench_jmt_tpu(
-                scoped_vmem_kib=kib, int8=True)
+                scoped_vmem_kib=kib,
+                int8="static" if "--int8-static" in sys.argv else True)
             print(f"int8 leg: {int8_cps:.2f} clips/s, p50 "
                   f"{int8_p50 * 1e3:.2f} ms", file=sys.stderr)
         except Exception as e:
-            print(f"int8 leg failed: {e}", file=sys.stderr)
+            # a broken int8 leg must never kill the headline number, but
+            # it must not be silent either: the failure rides in the JSON
+            int8_err = f"{type(e).__name__}: {e}"
+            print(f"int8 leg failed: {int8_err}", file=sys.stderr)
 
     # opt-in secondary metric: the native-112 I3D config (exact same
     # pipeline minus the information-free 112->224 upsample; NOT
@@ -296,11 +320,16 @@ def main():
         "mfu_vs_197tflops_bf16": round(mfu, 3),
     }
     if int8_cps is not None:
+        from jmt_tpu.ops.quant import FLAGSHIP_VA_ABS_BOUND
         result["int8_clips_per_sec"] = round(int8_cps, 2)
         result["int8_p50_request_ms"] = round(int8_p50 * 1e3, 2)
-        # accuracy bound for the int8 leg, pinned by tests/test_quant.py
-        # (conv-level ~1% rel err; flagship eval V/A within 0.1 abs of f32)
-        result["int8_accuracy_bound"] = "V/A abs<=0.1 vs f32 (test_quant)"
+        # accuracy bound for the int8 leg — the SAME constant
+        # tests/test_quant.py enforces (conv-level ~1% rel err; flagship
+        # eval V/A drift vs f32)
+        result["int8_accuracy_bound"] = (
+            f"V/A abs<={FLAGSHIP_VA_ABS_BOUND:g} vs f32 (test_quant)")
+    elif int8_err is not None:
+        result["int8_error"] = int8_err
     if native112 is not None:
         result["native112_clips_per_sec"] = round(native112, 2)
     if bsweep:

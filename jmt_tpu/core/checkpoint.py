@@ -89,8 +89,11 @@ def load_train_state_extra(directory: str) -> Optional[dict]:
     return payload.get("extra")
 
 
-def restore_train_state(directory: str, template) -> Any:
-    """Restore into the structure of `template` (a TrainState)."""
+def restore_train_state_with_extra(directory: str, template):
+    """Restore into the structure of `template` (a TrainState); returns
+    ``(state, extra)`` from ONE read + msgpack decode of the checkpoint —
+    the payload holds the full param + optimizer trees (potentially GBs),
+    so parsing it twice would double resume I/O and peak host memory."""
     from jmt_tpu.train.state import TrainState
 
     with open(os.path.join(directory, STATE_FILE), "rb") as f:
@@ -106,7 +109,12 @@ def restore_train_state(directory: str, template) -> Any:
                                                 payload["opt_state"]),
         epoch=int(payload["epoch"]),
     )
-    return out
+    return out, payload.get("extra")
+
+
+def restore_train_state(directory: str, template) -> Any:
+    """Restore into the structure of `template` (a TrainState)."""
+    return restore_train_state_with_extra(directory, template)[0]
 
 
 # ----------------------------------------------------------------------------

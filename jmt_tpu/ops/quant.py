@@ -43,22 +43,64 @@ _STATE = threading.local()
 # stay in the compute dtype
 _MIN_CONTRACTION = 64
 
+# flagship eval V/A absolute drift bound vs the f32 path — the single
+# source of truth shared by tests/test_quant.py (which enforces it) and
+# bench.py's int8 leg (which reports it); change it HERE only
+FLAGSHIP_VA_ABS_BOUND = 0.1
+
 
 def quant_enabled() -> bool:
-    return getattr(_STATE, "int8", False)
+    return (getattr(_STATE, "int8", False)
+            or getattr(_STATE, "calib", None) is not None)
 
 
 @contextlib.contextmanager
-def int8_inference(enabled: bool = True):
+def int8_inference(enabled: bool = True, act_scales=None):
     """Trace-time switch: convs traced inside this context lower to the
     int8 MXU path. Wrap the TRACING of a jitted inference function (the
-    first call, or an explicit .lower()/AOT compile)."""
-    prev = quant_enabled()
+    first call, or an explicit .lower()/AOT compile).
+
+    act_scales: optional sequence of STATIC per-tensor activation scales
+    (floats, trace order over eligible convs — produce them with
+    ``int8_calibration`` + ``act_scales_from_maxes``). With static scales
+    the activation quantize is a pure elementwise op with a baked-in
+    constant — XLA fuses it into the producing BN/ReLU, removing the
+    per-conv dynamic max-reduce pass (an extra read of every activation
+    tensor plus a fusion break) that the dynamic mode pays."""
+    prev = getattr(_STATE, "int8", False)
+    prev_iter = getattr(_STATE, "act_iter", None)
     _STATE.int8 = enabled
+    _STATE.act_iter = (iter([float(s) for s in act_scales])
+                       if enabled and act_scales is not None else None)
     try:
         yield
     finally:
         _STATE.int8 = prev
+        _STATE.act_iter = prev_iter
+
+
+@contextlib.contextmanager
+def int8_calibration(collector: list):
+    """Calibration trace: convs that WOULD quantize under int8_inference
+    run in their normal dtype but append their activation absmax (a traced
+    f32 scalar) to `collector`, in trace order. Jit a forward wrapped in
+    this context, return ``jnp.stack(collector)``, run it once on a
+    calibration batch, and feed the result to ``act_scales_from_maxes``."""
+    prev = getattr(_STATE, "calib", None)
+    _STATE.calib = collector
+    try:
+        yield
+    finally:
+        _STATE.calib = prev
+
+
+def act_scales_from_maxes(maxes, margin: float = 1.0):
+    """Per-conv absmax (int8_calibration output) -> static activation
+    scales. margin > 1 leaves headroom for batches that exceed the
+    calibration batch's range (values past 127*scale clip)."""
+    import numpy as np
+    return [max(float(m) * margin, 1e-12) / 127.0
+            for m in np.asarray(maxes).reshape(-1)]
 
 
 def quantize_weight_per_channel(kernel: jnp.ndarray):
@@ -89,8 +131,31 @@ def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray,
     """Quantized channels-last conv: q(x) ⊛ q(w) in s8->s32 on the MXU,
     dequantized to x's dtype. Output-channel dim is last in both HWIO
     kernels and NHWC outputs, so the per-channel scale broadcasts."""
+    coll = getattr(_STATE, "calib", None)
+    if coll is not None:
+        # calibration trace: record the activation range, compute normally
+        coll.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+        return jax.lax.conv_general_dilated(
+            x, kernel, window_strides=tuple(strides), padding=padding,
+            rhs_dilation=tuple(dilation) if dilation else None,
+            dimension_numbers=dimension_numbers,
+            feature_group_count=feature_group_count,
+            preferred_element_type=(jnp.float32
+                                    if x.dtype == jnp.float32 else None))
     w_q, s_w = quantize_weight_per_channel(kernel)
-    x_q, s_x = quantize_tensor(x)
+    it = getattr(_STATE, "act_iter", None)
+    if it is not None:
+        try:
+            s_x = next(it)
+        except StopIteration:
+            raise RuntimeError(
+                "int8 act_scales exhausted: the model traces more eligible "
+                "convs than the calibration recorded — calibrate with the "
+                "same model/config") from None
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                       -127, 127).astype(jnp.int8)
+    else:
+        x_q, s_x = quantize_tensor(x)
     y = jax.lax.conv_general_dilated(
         x_q, w_q, window_strides=tuple(strides), padding=padding,
         rhs_dilation=tuple(dilation) if dilation else None,

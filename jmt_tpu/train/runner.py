@@ -265,7 +265,12 @@ class Runner:
                     "atar": np.asarray(atar, np.float32)}
                 break
 
-        if self.plateau is not None and n and self._preempted_mid is None:
+        if self._preempted_mid is not None:
+            # mid-epoch preemption exit: fit() discards these metrics, and
+            # ccc_metric over the partial accumulators would be a new array
+            # shape — a fresh XLA compile inside the short grace window
+            return EpochMetrics()
+        if self.plateau is not None and n:
             self.plateau.step(epoch_loss / n)
         m = EpochMetrics(
             train_ccc_v=float(ccc_metric(jnp.asarray(np.array(vout)),
@@ -430,14 +435,37 @@ class Runner:
         path = os.path.join(self.exp.weights_dir, ckpt.STATE_FILE)
         if not os.path.isfile(path):
             return False
-        self.state = ckpt.restore_train_state(self.exp.weights_dir,
-                                              self.state)
-        self._restore_extra(ckpt.load_train_state_extra(self.exp.weights_dir))
+        self.state, extra = ckpt.restore_train_state_with_extra(
+            self.exp.weights_dir, self.state)
+        self._restore_extra(extra)
         self.cfg.model_params.start_epoch = self.state.epoch
         at = (f" (mid-epoch, step {self._mid_epoch['step']})"
               if self._mid_epoch else "")
         self.log.log(f"resumed from {path} at epoch {self.state.epoch}{at}")
         return True
+
+    def _assert_pod_resume_agreement(self, start: int) -> None:
+        """Pod resume sanity: _save_state/preempted.txt are written by
+        process 0 only, so with per-host experiment dirs a post-preemption
+        relaunch can have host 0 resume at epoch E (mid-epoch skip armed)
+        while other hosts start fresh at 0 — mismatched collectives and a
+        permanent hang. Every process reaches fit(), so this allgather is a
+        safe lockstep collective; it fails FAST with the fix (shared
+        storage for weights_dir — docs/OPERATIONS.md) instead of hanging."""
+        _, count = self.procs
+        if count == 1:
+            return
+        from jax.experimental import multihost_utils
+        mid = self._mid_epoch["step"] if self._mid_epoch else -1
+        mine = np.asarray([start, mid], np.int32)
+        allv = np.asarray(multihost_utils.process_allgather(mine))
+        if not (allv == allv[0]).all():
+            raise RuntimeError(
+                "pod resume disagreement: per-process (start_epoch, "
+                f"mid_epoch_step) = {allv.tolist()} — processes restored "
+                "different checkpoints. train_state.msgpack/preempted.txt "
+                "are written by process 0 only; put weights_dir on storage "
+                "shared by all hosts (docs/OPERATIONS.md, pod resume)")
 
     def fit(self) -> Dict[str, float]:
         if self.exp.already_done():
@@ -450,6 +478,7 @@ class Runner:
             self.initialize()
         cfg = self.cfg
         start = cfg.model_params.start_epoch
+        self._assert_pod_resume_agreement(start)
         if cfg.graceful_preemption:
             preempt.install()
         preempted = False
@@ -524,6 +553,12 @@ class Runner:
                 # gates the CLI's IMPLICIT auto-resume (ordinary crashes
                 # still require an explicit --resume).
                 if is_main_process():
+                    # flush the in-flight async state write FIRST: the
+                    # marker arms implicit auto-resume, so it must never be
+                    # observable (SIGKILL after the grace window) without
+                    # the checkpoint it vouches for
+                    if acp is not None:
+                        acp.wait()
                     with open(self.exp.preempted_marker, "w") as f:
                         f.write("graceful preemption; re-launch resumes\n")
                 if self._best_snapshot is not None:

@@ -119,6 +119,37 @@ def test_gather_rows_multiproc_branch(monkeypatch):
                                   .reshape(8, 4))
 
 
+def test_pod_resume_agreement(monkeypatch):
+    """fit()'s entry allgather fails fast when processes restored different
+    checkpoints (per-host experiment dirs after a preemption: host 0 resumes
+    at epoch E, the rest at 0 — previously a permanent collective hang)."""
+    import types
+    from jax.experimental import multihost_utils
+    from jmt_tpu.train.runner import Runner
+
+    ns = types.SimpleNamespace(procs=(0, 2), _mid_epoch=None)
+    # agreement: both processes report (start=3, mid=-1) -> no raise
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        lambda x, **kw: np.stack([x, x]))
+    Runner._assert_pod_resume_agreement(ns, 3)
+    # disagreement: process 1 starts fresh at epoch 0 -> RuntimeError
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda x, **kw: np.stack([x, np.zeros_like(x)]))
+    with pytest.raises(RuntimeError, match="shared"):
+        Runner._assert_pod_resume_agreement(ns, 3)
+    # mid-epoch step mismatch alone also trips it
+    ns_mid = types.SimpleNamespace(procs=(0, 2), _mid_epoch={"step": 5})
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda x, **kw: np.stack([x, np.asarray([x[0], -1], x.dtype)]))
+    with pytest.raises(RuntimeError, match="disagreement"):
+        Runner._assert_pod_resume_agreement(ns_mid, 3)
+    # single process: no collective, no raise
+    Runner._assert_pod_resume_agreement(
+        types.SimpleNamespace(procs=(0, 1), _mid_epoch=None), 0)
+
+
 @pytest.mark.slow
 def test_fit_writes_nothing_off_main_process(tmp_path, monkeypatch):
     """A non-zero process runs the full epoch (collectives must execute in

@@ -73,6 +73,50 @@ def test_small_contraction_stays_unquantized():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_calibration_records_eligible_convs_only_and_is_exact():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 32)).astype(np.float32))
+    w_big = jnp.asarray(rng.normal(size=(3, 3, 32, 8)).astype(np.float32))
+    x3 = jnp.asarray(rng.normal(size=(1, 8, 8, 3)).astype(np.float32))
+    w_small = jnp.asarray(rng.normal(size=(3, 3, 3, 8)).astype(np.float32))
+    ref_big = conv_nd(x, w_big, strides=(1, 1), padding="SAME")
+    coll = []
+    with quant.int8_calibration(coll):
+        got_big = conv_nd(x, w_big, strides=(1, 1), padding="SAME")
+        conv_nd(x3, w_small, strides=(1, 1), padding="SAME")
+    # only the eligible conv recorded; calibration forward is EXACT
+    assert len(coll) == 1
+    np.testing.assert_array_equal(np.asarray(got_big), np.asarray(ref_big))
+    np.testing.assert_allclose(float(coll[0]),
+                               float(jnp.max(jnp.abs(x))), rtol=1e-6)
+
+
+def test_static_scales_match_dynamic_on_calibration_batch():
+    """margin=1 static scales == the dynamic per-call scale on the same
+    input, so the two modes must agree BITWISE there."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 32)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 32, 16)).astype(np.float32))
+    coll = []
+    with quant.int8_calibration(coll):
+        conv_nd(x, w, strides=(1, 1), padding="SAME")
+    scales = quant.act_scales_from_maxes(np.asarray(coll))
+    with quant.int8_inference():
+        dyn = conv_nd(x, w, strides=(1, 1), padding="SAME")
+    with quant.int8_inference(act_scales=scales):
+        stat = conv_nd(x, w, strides=(1, 1), padding="SAME")
+    np.testing.assert_array_equal(np.asarray(stat), np.asarray(dyn))
+
+
+def test_static_scales_exhaustion_raises():
+    x = jnp.ones((1, 8, 8, 32), jnp.float32)
+    w = jnp.ones((3, 3, 32, 8), jnp.float32)
+    with quant.int8_inference(act_scales=[0.5]):
+        conv_nd(x, w, strides=(1, 1), padding="SAME")
+        with pytest.raises(RuntimeError, match="exhausted"):
+            conv_nd(x, w, strides=(1, 1), padding="SAME")
+
+
 @pytest.mark.slow
 def test_int8_eval_step_close_to_f32(tmp_path):
     """Full flagship-shaped eval step, int8 vs f32: V/A outputs stay close
@@ -103,6 +147,8 @@ def test_int8_eval_step_close_to_f32(tmp_path):
     q_step = make_eval_step(r.model, int8=True)
     v1, a1 = q_step(r.state, arrays)
     v0, a0, v1, a1 = (np.asarray(t).reshape(-1) for t in (v0, a0, v1, a1))
-    # outputs live in ~[-1, 1]; int8 backbone drift must stay small
-    assert np.max(np.abs(v1 - v0)) < 0.1, np.max(np.abs(v1 - v0))
-    assert np.max(np.abs(a1 - a0)) < 0.1, np.max(np.abs(a1 - a0))
+    # outputs live in ~[-1, 1]; int8 backbone drift must stay within the
+    # bound bench.py's int8 leg reports (the shared constant)
+    bound = quant.FLAGSHIP_VA_ABS_BOUND
+    assert np.max(np.abs(v1 - v0)) < bound, np.max(np.abs(v1 - v0))
+    assert np.max(np.abs(a1 - a0)) < bound, np.max(np.abs(a1 - a0))
