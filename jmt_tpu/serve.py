@@ -91,10 +91,22 @@ class InferenceServer:
                  img_size: int = 112, audio_samples: Optional[int] = None,
                  use_wavlm: Optional[bool] = None,
                  wavlm_frontend: Optional[WavLMFrontend] = None,
-                 model_mesh=None, int8: bool = False):
+                 model_mesh=None, int8=False, int8_scales=None):
         from jmt_tpu.ops.mel import AUDIO_SAMPLES
         self.model = model
-        self.int8 = bool(int8)
+        # int8: False | True (dynamic per-call activation scales, measured
+        # ~neutral on v5e) | "static" (calibrated per-conv scales baked in
+        # as constants — measured +20% over bf16; requires int8_scales or a
+        # later .calibrate() on a representative request)
+        self.int8 = int8
+        self.int8_scales = (list(int8_scales) if int8_scales is not None
+                            else None)
+        if int8 == "static" and self.int8_scales is None:
+            raise ValueError(
+                "int8='static' needs int8_scales — pass scales from "
+                "train.loops.make_calibration_step, or construct with "
+                "int8=True and call .calibrate(clips, audio[, wavlm]) on "
+                "a representative request")
         self.seq = seq
         self.img = img_size
         self.audio_samples = audio_samples or AUDIO_SAMPLES
@@ -147,7 +159,10 @@ class InferenceServer:
         def fwd(variables, arrays):
             # int8 serving (ops/quant.py): eligible backbone convs on the
             # s8 MXU path — the context is active during .lower()'s trace
-            with quant.int8_inference(self.int8):
+            with quant.int8_inference(
+                    bool(self.int8),
+                    act_scales=(self.int8_scales
+                                if self.int8 == "static" else None)):
                 spec, clips = _preprocess(self.model, arrays, None,
                                           augment=False)
                 return self.model.apply(variables, spec, clips,
@@ -156,6 +171,46 @@ class InferenceServer:
         return (jax.jit(fwd)
                 .lower(self.variables, self._example(b))
                 .compile())
+
+    def calibrate(self, clips: np.ndarray, audio: np.ndarray,
+                  wavlm: Optional[np.ndarray] = None):
+        """Measure per-conv activation scales on a representative request,
+        switch to static-int8 mode, and recompile the buckets (measured
+        +20% over bf16 on v5e where dynamic int8 was neutral — bench.py).
+        Values beyond a calibrated range clip, so calibrate on data that
+        covers the serving distribution. Returns the scales (persist and
+        pass as int8_scales to skip recalibration)."""
+        from jmt_tpu.train.loops import _preprocess
+        from jmt_tpu.ops import quant
+
+        arrays = {"clips": np.asarray(clips),
+                  "audio": np.asarray(audio, np.float32)}
+        if self.use_wavlm:
+            if wavlm is None and self.wavlm_frontend is not None:
+                arrays["wavlm"] = self.wavlm_frontend.features(
+                    arrays["audio"])
+            else:
+                assert wavlm is not None, "model has a wavLM path"
+                arrays["wavlm"] = np.asarray(wavlm, np.float32)
+        if self.model_mesh is not None:
+            from jmt_tpu.parallel.tp import replicate
+            arrays = replicate(arrays, self.model_mesh)
+
+        def calib(variables, arrays):
+            coll: list = []
+            with quant.int8_calibration(coll):
+                spec, c = _preprocess(self.model, arrays, None,
+                                      augment=False)
+                self.model.apply(variables, spec, c, arrays.get("wavlm"),
+                                 train=False)
+            return (jnp.stack(coll) if coll
+                    else jnp.zeros((0,), jnp.float32))
+
+        maxes = np.asarray(jax.jit(calib)(self.variables, arrays))
+        self.int8_scales = quant.act_scales_from_maxes(maxes)
+        self.int8 = "static"
+        self._compiled = {b: self._compile(b) for b in self.buckets}
+        return self.int8_scales
 
     # ------------------------------------------------------------------
     def predict(self, clips: np.ndarray, audio: np.ndarray,
@@ -205,7 +260,7 @@ class InferenceServer:
     def from_experiment(cls, exp_dir: str, buckets: Sequence[int] = (1, 8),
                         weights: str = "auto",
                         wavlm_frontend: Optional["WavLMFrontend"] = None,
-                        model_mesh=None, int8: bool = False
+                        model_mesh=None, int8=False, int8_scales=None
                         ) -> "InferenceServer":
         """Build from a finished training run: final_config.yml + the BEST
         per-component weights (or the final train_state)."""
@@ -235,7 +290,7 @@ class InferenceServer:
         return cls(runner.model, runner.state.params(),
                    runner.state.batch_stats, buckets=buckets,
                    wavlm_frontend=wavlm_frontend, model_mesh=model_mesh,
-                   int8=int8)
+                   int8=int8, int8_scales=int8_scales)
 
 
 class StreamingSession:
@@ -381,7 +436,7 @@ def _selftest_model(heavy: bool):
         dtype=jnp.bfloat16)
 
 
-def _selftest(buckets=(1, 8), heavy=False) -> Dict:
+def _selftest(buckets=(1, 8), heavy=False, int8=False) -> Dict:
     """Synthetic-weights self-test: AOT-compile + latency per bucket."""
     import __main__  # noqa: F401
     from jmt_tpu.train.loops import _preprocess
@@ -400,7 +455,10 @@ def _selftest(buckets=(1, 8), heavy=False) -> Dict:
                            arrays.get("wavlm"))
     server = InferenceServer(model, variables["params"],
                              variables.get("batch_stats", {}),
-                             buckets=buckets)
+                             buckets=buckets, int8=bool(int8))
+    if int8 == "static":
+        server.calibrate(arrays["clips"], arrays["audio"],
+                         arrays.get("wavlm"))
     out = {"buckets": {}}
     for b in buckets:
         out["buckets"][str(b)] = {
@@ -431,9 +489,14 @@ if __name__ == "__main__":
                    help="tensor-parallel serving over N devices "
                         "(parallel/tp.py; shrinks per-request latency)")
     p.add_argument("--int8", action="store_true",
-                   help="int8 inference: eligible backbone convs on the "
-                        "s8 MXU path (ops/quant.py; accuracy bound in "
+                   help="int8 inference, dynamic activation scales "
+                        "(ops/quant.py; accuracy bound in "
                         "tests/test_quant.py + STATUS.md)")
+    p.add_argument("--int8-static", action="store_true",
+                   help="int8 with calibrated static activation scales "
+                        "(+20%% over bf16 on v5e; calibrates on a "
+                        "synthetic request here — production should "
+                        "server.calibrate() on real data)")
     args = p.parse_args()
     from jmt_tpu.core.compcache import enable_compilation_cache
     enable_compilation_cache(args.compilation_cache)
@@ -448,11 +511,20 @@ if __name__ == "__main__":
         if args.tp:
             from jmt_tpu.parallel.tp import make_model_mesh
             mesh = make_model_mesh(args.tp)
-        server = InferenceServer.from_experiment(args.exp_dir,
-                                                 buckets=buckets,
-                                                 wavlm_frontend=frontend,
-                                                 model_mesh=mesh,
-                                                 int8=args.int8)
+        server = InferenceServer.from_experiment(
+            args.exp_dir, buckets=buckets, wavlm_frontend=frontend,
+            model_mesh=mesh, int8=args.int8 or args.int8_static)
+        if args.int8_static:
+            rng = np.random.default_rng(0)
+            server.calibrate(
+                rng.integers(0, 255, (1, server.seq, 8, server.img,
+                                      server.img, 3), dtype=np.uint8),
+                (rng.normal(size=(1, server.seq, server.audio_samples))
+                 * .1).astype(np.float32),
+                None if server.wavlm_frontend is not None or
+                not server.use_wavlm else
+                rng.normal(size=(1, server.seq, server.wavlm_dim)
+                           ).astype(np.float32))
         stats = {"buckets": {str(b): {
             "relay": measure_latency(server, b),
             "device_resident": measure_latency(server, b,
@@ -464,5 +536,7 @@ if __name__ == "__main__":
             print("warning: --wavlm-checkpoint/--tp apply only with "
                   "--exp-dir (the synthetic self-test ignores them)",
                   file=sys.stderr)
-        stats = _selftest(buckets, heavy=args.heavy)
+        stats = _selftest(buckets, heavy=args.heavy,
+                          int8=("static" if args.int8_static
+                                else args.int8))
     print(json.dumps(stats))

@@ -145,20 +145,47 @@ def make_train_step(model, tx, more_vision_augm: bool = False,
     return train_step
 
 
+def make_calibration_step(model,
+                          compiler_options: Optional[Dict[str, str]] = None
+                          ) -> Callable:
+    """Jitted calib_step(state, arrays) -> per-eligible-conv activation
+    absmax (f32 vector, trace order) for the eval forward. Feed the result
+    to ``quant.act_scales_from_maxes`` and pass those scales to
+    ``make_eval_step(int8=True, act_scales=...)`` — static scales let the
+    quantize fuse into the producing op (measured +20% over bf16 on v5e
+    where dynamic per-call scales were neutral; bench.py int8 leg)."""
+    from jmt_tpu.ops import quant
+
+    @functools.partial(jax.jit, compiler_options=compiler_options)
+    def calib_step(state: TrainState, arrays: Dict[str, Any]):
+        coll: list = []
+        with quant.int8_calibration(coll):
+            spec, clips = _preprocess(model, arrays, None, augment=False)
+            params = merge_params(state.trainable, state.frozen)
+            model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                spec, clips, arrays.get("wavlm"), train=False)
+        return jnp.stack(coll) if coll else jnp.zeros((0,), jnp.float32)
+
+    return calib_step
+
+
 def make_eval_step(model,
                    compiler_options: Optional[Dict[str, str]] = None,
-                   int8: bool = False) -> Callable:
+                   int8: bool = False, act_scales=None) -> Callable:
     """Returns jitted eval_step(state, arrays) -> (vouts, aouts).
 
     int8=True routes every eligible backbone conv through the s8xs8->s32
     MXU path (ops/quant.py int8_inference — the context is active while
     jit TRACES the body, which is exactly when conv_nd consults it).
-    Inference only; training is never quantized."""
+    act_scales: static per-conv activation scales (make_calibration_step +
+    quant.act_scales_from_maxes) — the fast int8 mode. Inference only;
+    training is never quantized."""
     from jmt_tpu.ops import quant
 
     @functools.partial(jax.jit, compiler_options=compiler_options)
     def eval_step(state: TrainState, arrays: Dict[str, Any]):
-        with quant.int8_inference(int8):
+        with quant.int8_inference(int8, act_scales=act_scales):
             spec, clips = _preprocess(model, arrays, None, augment=False)
             params = merge_params(state.trainable, state.frozen)
             return model.apply(

@@ -146,9 +146,78 @@ def test_int8_eval_step_close_to_f32(tmp_path):
     v0, a0 = r.eval_step(r.state, arrays)
     q_step = make_eval_step(r.model, int8=True)
     v1, a1 = q_step(r.state, arrays)
-    v0, a0, v1, a1 = (np.asarray(t).reshape(-1) for t in (v0, a0, v1, a1))
+    v0f, a0f, v1, a1 = (np.asarray(t).reshape(-1) for t in (v0, a0, v1, a1))
     # outputs live in ~[-1, 1]; int8 backbone drift must stay within the
     # bound bench.py's int8 leg reports (the shared constant)
     bound = quant.FLAGSHIP_VA_ABS_BOUND
-    assert np.max(np.abs(v1 - v0)) < bound, np.max(np.abs(v1 - v0))
-    assert np.max(np.abs(a1 - a0)) < bound, np.max(np.abs(a1 - a0))
+    assert np.max(np.abs(v1 - v0f)) < bound, np.max(np.abs(v1 - v0f))
+    assert np.max(np.abs(a1 - a0f)) < bound, np.max(np.abs(a1 - a0f))
+
+    # static calibrated scales (the fast int8 mode, bench default):
+    # calibrate on THIS batch, evaluate on a PERTURBED one — values past a
+    # calibrated range clip, and the drift must still hold the same bound
+    from jmt_tpu.train.loops import make_calibration_step
+    maxes = np.asarray(make_calibration_step(r.model)(r.state, arrays))
+    assert maxes.size > 0 and (maxes > 0).all()
+    scales = quant.act_scales_from_maxes(maxes)
+    arrays2 = dict(arrays)
+    arrays2["clips"] = np.roll(np.asarray(arrays["clips"]), 3, axis=3)
+    arrays2["audio"] = np.asarray(arrays["audio"]) * 1.2
+    vr, ar = r.eval_step(r.state, arrays2)
+    s_step = make_eval_step(r.model, int8=True, act_scales=scales)
+    vs, as_ = s_step(r.state, arrays2)
+    vr, ar, vs, as_ = (np.asarray(t).reshape(-1) for t in (vr, ar, vs, as_))
+    assert np.max(np.abs(vs - vr)) < bound, np.max(np.abs(vs - vr))
+    assert np.max(np.abs(as_ - ar)) < bound, np.max(np.abs(as_ - ar))
+
+
+def test_server_static_int8_requires_scales():
+    from jmt_tpu.serve import InferenceServer
+    with pytest.raises(ValueError, match="int8_scales"):
+        InferenceServer(object(), {}, {}, int8="static")
+
+
+@pytest.mark.slow
+def test_server_calibrate_switches_to_static(tmp_path):
+    """InferenceServer.calibrate: measures scales on a request, recompiles
+    static; a server CONSTRUCTED with the persisted scales must reproduce
+    the calibrated server's predictions exactly, and both must stay within
+    the shared drift bound of the unquantized server."""
+    import jax
+    import jax.numpy as jnp
+    from jmt_tpu.serve import InferenceServer
+    from jmt_tpu.models.jmt_model import JMTModel
+    from jmt_tpu.train.loops import _preprocess
+
+    model = JMTModel(vision_backbones=("R2D1",),
+                     audio_backbones=("ResNet18",),
+                     intra_modal_fusion="None",
+                     joint_modalities="TRANSFORMER",
+                     output_format="SELF_ATTEN",
+                     num_heads=1, num_layers=1, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    clips = rng.integers(0, 255, (1, 2, 8, 16, 16, 3), dtype=np.uint8)
+    audio = (rng.normal(size=(1, 2, 4096)) * .1).astype(np.float32)
+    arrays = {"clips": clips, "audio": audio}
+    spec, c = _preprocess(model, arrays, None, augment=False)
+    variables = model.init(jax.random.PRNGKey(0), spec, c, None)
+    kw = dict(seq=2, buckets=(1,), img_size=16, audio_samples=4096)
+    ref = InferenceServer(model, variables["params"],
+                          variables["batch_stats"], **kw)
+    v0, a0 = ref.predict(clips, audio)
+
+    srv = InferenceServer(model, variables["params"],
+                          variables["batch_stats"], int8=True, **kw)
+    scales = srv.calibrate(clips, audio)
+    assert srv.int8 == "static" and len(scales) > 0
+    v1, a1 = srv.predict(clips, audio)
+    bound = quant.FLAGSHIP_VA_ABS_BOUND
+    assert np.max(np.abs(v1 - v0)) < bound
+    assert np.max(np.abs(a1 - a0)) < bound
+
+    srv2 = InferenceServer(model, variables["params"],
+                           variables["batch_stats"], int8="static",
+                           int8_scales=scales, **kw)
+    v2, a2 = srv2.predict(clips, audio)
+    np.testing.assert_array_equal(v2, v1)
+    np.testing.assert_array_equal(a2, a1)
