@@ -41,7 +41,11 @@ class WavLMFrontend:
     compile per bucket; host-side 44.1k->16k polyphase resample) and
     emits the LAST WavLM frame. Context is truncated to the chunk by
     construction; use the offline extractor when full-track features are
-    available.
+    available. The approximation is MEASURED (tests/test_wavlm_drift.py,
+    numbers in docs/OPERATIONS.md "Live WavLM approximation"): alignment
+    is sub-frame accurate and downstream V/A drift is ≤0.04 with a
+    worst-case random-init model — re-run that harness with your real
+    checkpoint before shipping raw-audio serving.
     """
 
     def __init__(self, params, cfg, sample_rate: int = 44100,

@@ -64,6 +64,7 @@ def main(n_videos=4, length=961, batch_size=8):
             # number (and BENCH_r03's 868 clips/s) corresponds to
             "l_vision_backbones": "R2D1,I3D",
             "l_audio_backbones": "ResNet18,wavLM",
+            "intra_modal_fusion": "encoder_plus_self_attention",
             "joint_modalities": "TRANSFORMER",
             "output_format": "SELF_ATTEN",
             "num_heads": 1, "num_layers": 1,
