@@ -20,6 +20,11 @@ from test_train_e2e import small_config
 
 
 def test_sigterm_sets_flag_and_handler_hygiene():
+    # order-independence: any earlier test that ran Runner.fit with
+    # graceful_preemption left handlers installed (install() is
+    # deliberately idempotent and fit does not uninstall) — start clean
+    preempt.uninstall()
+    preempt.clear()
     try:
         # not installed yet: an off-main-thread install must refuse
         res = []

@@ -242,7 +242,7 @@ def test_selftest_heavy_builds_flagship():
     import inspect
     import jmt_tpu.serve as serve_mod
     src = inspect.getsource(serve_mod)
-    assert "_selftest(buckets, heavy=args.heavy)" in src
+    assert "_selftest(buckets, heavy=args.heavy" in src
 
 
 def test_separable_max_pool_exact_vs_reduce_window():
