@@ -188,10 +188,18 @@ def _mm_trace(seed: int, vi: int, frame_ids: np.ndarray):
 
 
 def _mm_parse(path: str):
-    """.../{seed}/learnmm{vi}/{frame}.{ext} -> (seed, vi, frame id)."""
+    """.../learnmm{seed:03d}{vi:03d}/{frame}.{ext} -> (seed, vi, frame).
+
+    The seed rides IN the video name (not just a parent dir) because the
+    WavlmFeatureStore joins by video name alone ({root}/{vid}/{n}.npy):
+    with bare names, train (seed 0) and val (seed 7) videos collided and
+    the store served the val video train-video-0's features — the exact
+    misjoin class the fusion learnability e2e exists to catch (it
+    surfaced in the harness itself, round 5)."""
     parts = path.split("/")
     stem = parts[-1].rsplit(".", 1)[0]
-    return int(parts[-3]), int(parts[-2][len("learnmm"):]), int(stem)
+    digits = parts[-2][len("learnmm"):]
+    return int(digits[:-3]), int(digits[-3:]), int(stem)
 
 
 def mm_frame_loader(path: str) -> Optional[np.ndarray]:
@@ -223,6 +231,17 @@ def mm_audio_loader(path: str) -> Optional[np.ndarray]:
     return x.astype(np.float32)
 
 
+def mm_blind_audio_loader(path: str) -> Optional[np.ndarray]:
+    """Control for the fusion learnability e2e: audio with NO arousal
+    coding (fixed 450 Hz tone + noise). A model trained on this cannot
+    recover the audio-coded axis unless a leak exists elsewhere."""
+    rng = np.random.default_rng(_seed_from(path))
+    n = SAMPLE_RATE
+    t = np.arange(n) / SAMPLE_RATE
+    x = 0.3 * np.sin(2 * np.pi * 450.0 * t) + 0.02 * rng.normal(size=n)
+    return x.astype(np.float32)
+
+
 def mm_wavlm_loader(path: str) -> Optional[np.ndarray]:
     """'WavLM' features carrying arousal linearly in the first dims — joins
     through WavlmFeatureStore ({root}/{vid}/{anchor}.npy), so a wavlm
@@ -241,25 +260,34 @@ def mm_records(n_videos: int = 3, length: int = 961,
     for vi in range(n_videos):
         ids = np.arange(1, length + 1)
         v, a = _mm_trace(seed, vi, ids.astype(np.float64))
+        # seed-unique video names — see _mm_parse for why this is load-
+        # bearing (the wavlm store joins by name alone)
+        name = f"learnmm{seed:03d}{vi:03d}"
         records.append(VideoRecord(
-            name=f"learnmm{vi:03d}",
-            image_paths=[f"{seed}/learnmm{vi:03d}/{i:05d}.jpg" for i in ids],
+            name=name,
+            image_paths=[f"{seed}/{name}/{i:05d}.jpg" for i in ids],
             labels_v=v,
             labels_a=a,
             frame_ids=ids.astype(np.int64),
             length=length,
-            wav_dir=f"/synthetic/mmaudio/{seed}/learnmm{vi:03d}",
+            wav_dir=f"/synthetic/mmaudio/{seed}/{name}",
         ))
     return records
 
 
 def mm_learnable_dataset(split: str, n_videos: int = 3, length: int = 961,
                          stride: int = 32, img_size: int = 32,
-                         seed: int = 0) -> WindowedDataset:
+                         seed: int = 0,
+                         audio_informative: bool = True) -> WindowedDataset:
+    """audio_informative=False swaps in the blind audio loader (fixed
+    tone, no arousal coding) — the negative control for the fusion e2e:
+    the config lattice (reference parity) requires an audio backbone, so
+    'the model cannot see arousal' is expressed through the DATA."""
     return WindowedDataset(
         mm_records(n_videos, length, seed), split=split, stride=stride,
         frame_loader=mm_frame_loader,
-        audio_loader=mm_audio_loader,
+        audio_loader=(mm_audio_loader if audio_informative
+                      else mm_blind_audio_loader),
         img_size=img_size,
         check_coverage=(stride == 1 and split != "train"))
 
